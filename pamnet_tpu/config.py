@@ -1,0 +1,71 @@
+"""Model/hyperparameter configuration.
+
+Mirrors the reference ``Config`` surface (reference: models.py:12-19) and adds
+TPU-specific knobs (padding buckets, precision, mesh axes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class PAMNetConfig:
+    """Hyperparameters of a PAMNet model.
+
+    Fields ``dataset, dim, n_layer, cutoff_l, cutoff_g, flow`` mirror the
+    reference ``Config`` (models.py:12-19).  ``flow`` controls the
+    aggregation direction of the *global* message-passing layer only
+    (reference: global_message_passing.py:11):
+
+    * ``"source_to_target"``: messages aggregate at ``edge_index[1]`` (dst).
+    * ``"target_to_source"``: messages aggregate at ``edge_index[0]`` (src).
+    """
+
+    dataset: str = "QM9"
+    dim: int = 128
+    n_layer: int = 6
+    cutoff_l: float = 5.0
+    cutoff_g: float = 5.0
+    flow: str = "source_to_target"
+    # Basis hyperparameters (reference: models.py:22 defaults).
+    num_spherical: int = 7
+    num_radial: int = 6
+    envelope_exponent: int = 5
+    num_rbf: int = 16
+    # PDBbind node feature width (reference: models.py:35 init_linear(18, dim)).
+    num_node_features: int = 18
+    # Model variant: "full" = PAMNet (two-hop + one-hop local triplets),
+    # "s" = PAMNet_s (one-hop only; reference: models.py:227-353).
+    variant: str = "full"
+
+    def __post_init__(self):
+        if self.flow not in ("source_to_target", "target_to_source"):
+            raise ValueError(f"invalid flow: {self.flow}")
+        if self.variant not in ("full", "s"):
+            raise ValueError(f"invalid variant: {self.variant}")
+
+    @property
+    def dataset_kind(self) -> str:
+        """Which forward branch this dataset takes (reference: models.py:104-160)."""
+        name = self.dataset
+        if name[:3].lower() == "rna":
+            return "rna"
+        if name == "QM9":
+            return "qm9"
+        if name == "PDBbind":
+            return "pdbbind"
+        raise ValueError(
+            "Invalid dataset. If you are using any dataset related to RNA 3D "
+            "structure prediction, be sure to use 'rna' as the first 3 "
+            "characters of the dataset name."
+        )
+
+    @property
+    def num_atom_types(self) -> int:
+        # RNA: C/N/O only (reference: models.py:32); otherwise H/C/N/O/F.
+        return 3 if self.dataset_kind == "rna" else 5
+
+
+# Alias matching the reference class name.
+Config = PAMNetConfig

@@ -1,0 +1,24 @@
+"""Host-side data pipeline: graph construction, TU-format readers, QM9
+parsing, preprocessing tools, and padded batch collation."""
+
+from pamnet_tpu.data.graphbuild import (
+    radius_graph_np,
+    knn_graph_np,
+    remove_self_loops_np,
+    edge_distances_np,
+    triplets_np,
+    pairs_np,
+)
+from pamnet_tpu.data.batch import GraphBatch, PadSizes, build_graph_batch
+
+__all__ = [
+    "radius_graph_np",
+    "knn_graph_np",
+    "remove_self_loops_np",
+    "edge_distances_np",
+    "triplets_np",
+    "pairs_np",
+    "GraphBatch",
+    "PadSizes",
+    "build_graph_batch",
+]

@@ -1,0 +1,42 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU platform so the
+multi-chip sharding path is testable without TPU hardware (the TPU-world
+analog of a fake backend; see SURVEY.md section 4).
+
+Note: this environment pre-imports jax and registers a remote-TPU PJRT plugin
+via a sitecustomize hook, so setting env vars here is too late for jax's
+config — we must call ``jax.config.update`` before any backend is touched.
+"""
+
+import os
+
+# For subprocesses spawned by tests (if any).
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+# Persistent compilation cache: repeated pytest runs skip XLA recompiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/pamnet_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(480)
+
+
+REFERENCE_ROOT = os.environ.get("PAMNET_REFERENCE_ROOT", "/root/reference")
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
