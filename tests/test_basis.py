@@ -13,6 +13,7 @@ from pamnet_tpu.ops.basis import (
     legendre_cbf,
     spherical_basis,
     spherical_basis_edge_rbf,
+    spherical_jn_all,
 )
 
 scipy_special = pytest.importorskip("scipy.special")
@@ -91,10 +92,21 @@ def test_spherical_edge_rbf_matches_scipy():
                 * t["norm"][l, n]
                 * scipy_special.spherical_jn(l, t["zeros"][l, n] * x)
             )
-            # float32 closed forms lose ~3 digits at the smallest distances
-            # (1/x^k cancellation); the reference's lambdified sympy forms
-            # have the identical f32 error profile on GPU.
-            np.testing.assert_allclose(got[:, l, n], oracle, rtol=1e-2, atol=5e-4)
+            np.testing.assert_allclose(got[:, l, n], oracle, rtol=2e-4, atol=1e-5)
+
+
+def test_spherical_jn_all_stable_in_f32():
+    # Sweep the full operating range, including the midrange where naive f32
+    # closed forms cancel catastrophically (the stable evaluator must not).
+    arg = np.concatenate(
+        [np.linspace(0.01, 0.99, 40), np.linspace(1.0, 8.9, 60), np.linspace(9.0, 30.0, 40)]
+    )
+    lmax = 7
+    got = np.asarray(spherical_jn_all(jnp.asarray(arg, dtype=jnp.float32), lmax))
+    assert np.all(np.isfinite(got))
+    for l in range(lmax + 1):
+        oracle = scipy_special.spherical_jn(l, arg)
+        np.testing.assert_allclose(got[:, l], oracle, rtol=5e-4, atol=2e-6)
 
 
 def test_legendre_cbf_matches_scipy():
