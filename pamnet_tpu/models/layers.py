@@ -1,0 +1,177 @@
+"""Message-passing layers over padded edge/triplet tensors.
+
+TPU-native re-design of the reference layers:
+
+* :func:`global_mp` replaces the PyG ``MessagePassing`` subclass (reference:
+  layers/global_message_passing.py:9-60) with explicit gather + masked
+  segment-sum; the ``flow`` option selects the aggregation endpoint.
+* :func:`local_mp` / :func:`local_mp_s` replace the raw ``torch_scatter``
+  implementation (reference: layers/local_message_passing.py:9-123).  The
+  triplet gather-multiply-segment-sum is the hot op; masks make padded
+  triplets contribute exact zeros.
+
+All layers return ``(x, out, att)`` where ``out``/``att`` are the per-node
+scalar head and attention logit consumed by the fusion module
+(reference: models.py:206-213).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pamnet_tpu import nn
+from pamnet_tpu.ops.segment import segment_sum
+
+
+def init_global_mp(key, dim: int):
+    ks = jax.random.split(key, 10)
+    return {
+        "mlp_x1": nn.mlp_init(ks[0], [dim, dim]),
+        "mlp_x2": nn.mlp_init(ks[1], [dim, dim]),
+        "res1": nn.res_init(ks[2], dim),
+        "res2": nn.res_init(ks[3], dim),
+        "res3": nn.res_init(ks[4], dim),
+        "mlp_m": nn.mlp_init(ks[5], [dim * 3, dim]),
+        "W_edge_attr": nn.linear_init(ks[6], dim, dim, bias=False),
+        "mlp_out": nn.mlp_init(ks[7], [dim, dim, dim, dim]),
+        "W_out": nn.linear_init(ks[8], dim, 1),
+        "W": nn.glorot(ks[9], (dim, 1)),
+    }
+
+
+def global_mp(p, x, edge_attr, src, dst, e_mask, flow: str, num_nodes: int):
+    """One global-plex layer (reference: global_message_passing.py:33-56).
+
+    ``flow`` chooses which endpoint receives messages: ``source_to_target``
+    aggregates at ``dst`` (x_i = x[dst]); ``target_to_source`` at ``src``.
+    """
+    res_x = x
+    x = nn.mlp(p["mlp_x1"], x)
+
+    if flow == "source_to_target":
+        x_i, x_j, agg_idx = x[dst], x[src], dst
+    else:
+        x_i, x_j, agg_idx = x[src], x[dst], src
+
+    m = nn.mlp(p["mlp_m"], jnp.concatenate([x_i, x_j, edge_attr], axis=-1))
+    m = m * nn.linear(p["W_edge_attr"], edge_attr)
+    m = m * e_mask[:, None]
+    x = x + segment_sum(m, agg_idx, num_nodes)
+    x = nn.mlp(p["mlp_x2"], x)
+
+    x = nn.res(p["res1"], x) + res_x
+    x = nn.res(p["res2"], x)
+    x = nn.res(p["res3"], x)
+
+    out = nn.mlp(p["mlp_out"], x)
+    att = out @ p["W"]  # (N, 1)
+    return x, nn.linear(p["W_out"], out), att
+
+
+def init_local_mp(key, dim: int, variant: str = "full"):
+    ks = jax.random.split(key, 13)
+    p = {
+        "mlp_x1": nn.mlp_init(ks[0], [dim, dim]),
+        "mlp_m_ji": nn.mlp_init(ks[1], [3 * dim, dim]),
+        "mlp_sbf": nn.mlp_init(ks[3], [dim, dim, dim]),
+        "lin_rbf": nn.linear_init(ks[4], dim, dim, bias=False),
+        "res1": nn.res_init(ks[5], dim),
+        "res2": nn.res_init(ks[6], dim),
+        "res3": nn.res_init(ks[7], dim),
+        "lin_rbf_out": nn.linear_init(ks[8], dim, dim, bias=False),
+        "mlp_x2": nn.mlp_init(ks[9], [dim, dim]),
+        "mlp_out": nn.mlp_init(ks[10], [dim, dim, dim, dim]),
+        "W_out": nn.linear_init(ks[11], dim, 1),
+        "W": nn.glorot(ks[12], (dim, 1)),
+    }
+    # Same shape, different name: mlp_m_kj (full, two-hop neighbors) vs
+    # mlp_m_jj (_s, one-hop pair neighbors); kept separate for checkpoint
+    # name fidelity (reference: local_message_passing.py:16,76).
+    p["mlp_m_kj" if variant == "full" else "mlp_m_jj"] = nn.mlp_init(
+        ks[2], [3 * dim, dim]
+    )
+    return p
+
+
+def local_mp(
+    p,
+    x,
+    rbf,
+    sbf2,
+    sbf1,
+    t2_kj,
+    t2_ji,
+    t2_mask,
+    t1_jj,
+    t1_ji,
+    t1_mask,
+    el_src,
+    el_dst,
+    el_mask,
+    num_nodes: int,
+):
+    """One full local-plex layer with both triplet streams (reference:
+    local_message_passing.py:36-66).  ``sbf2``/``sbf1`` arrive already
+    projected to ``dim`` by the model-level mlp_sbf2/mlp_sbf1."""
+    j, i = el_src, el_dst
+    num_edges = rbf.shape[0]
+
+    res_x = x
+    x = nn.mlp(p["mlp_x1"], x)
+
+    m = jnp.concatenate([x[i], x[j], rbf], axis=-1)
+    m_ji = nn.mlp(p["mlp_m_ji"], m)
+    m_neighbor = nn.mlp(p["mlp_m_kj"], m) * nn.linear(p["lin_rbf"], rbf)
+
+    # Triplet aggregation: gather neighbor-edge messages, modulate by the
+    # angular basis, scatter-add back onto the center edge.  This is the hot
+    # op (SURVEY.md section 3.2); padded triplets are masked to exact zero.
+    m2 = m_neighbor[t2_kj] * nn.mlp(p["mlp_sbf"], sbf2) * t2_mask[:, None]
+    m1 = m_neighbor[t1_jj] * nn.mlp(p["mlp_sbf"], sbf1) * t1_mask[:, None]
+    m_other = segment_sum(m2, t2_ji, num_edges) + segment_sum(m1, t1_ji, num_edges)
+    m = m_ji + m_other
+
+    m = nn.linear(p["lin_rbf_out"], rbf) * m
+    m = m * el_mask[:, None]
+    x = x + segment_sum(m, i, num_nodes)
+    x = nn.mlp(p["mlp_x2"], x)
+
+    x = nn.res(p["res1"], x) + res_x
+    x = nn.res(p["res2"], x)
+    x = nn.res(p["res3"], x)
+
+    out = nn.mlp(p["mlp_out"], x)
+    att = out @ p["W"]
+    return x, nn.linear(p["W_out"], out), att
+
+
+def local_mp_s(
+    p, x, rbf, sbf, t1_jj, t1_ji, t1_mask, el_src, el_dst, el_mask, num_nodes: int
+):
+    """Efficient one-hop-only local layer (reference:
+    local_message_passing.py:96-123, used by PAMNet_s)."""
+    j, i = el_src, el_dst
+    num_edges = rbf.shape[0]
+
+    res_x = x
+    x = nn.mlp(p["mlp_x1"], x)
+
+    m = jnp.concatenate([x[i], x[j], rbf], axis=-1)
+    m_ji = nn.mlp(p["mlp_m_ji"], m)
+    m_neighbor = nn.mlp(p["mlp_m_jj"], m) * nn.linear(p["lin_rbf"], rbf)
+    m1 = m_neighbor[t1_jj] * nn.mlp(p["mlp_sbf"], sbf) * t1_mask[:, None]
+    m = m_ji + segment_sum(m1, t1_ji, num_edges)
+
+    m = nn.linear(p["lin_rbf_out"], rbf) * m
+    m = m * el_mask[:, None]
+    x = x + segment_sum(m, i, num_nodes)
+    x = nn.mlp(p["mlp_x2"], x)
+
+    x = nn.res(p["res1"], x) + res_x
+    x = nn.res(p["res2"], x)
+    x = nn.res(p["res3"], x)
+
+    out = nn.mlp(p["mlp_out"], x)
+    att = out @ p["W"]
+    return x, nn.linear(p["W_out"], out), att
