@@ -1,0 +1,190 @@
+"""Independent float64 numpy/scipy oracle for the PAMNet forward pass.
+
+This re-implements the reference math (models.py:100-224) directly from the
+paper-level formulas in double precision, consuming the raw torch state_dict
+(weights in torch (out, in) layout).  It shares *no* code with the JAX model
+other than the host graph builders (which have their own brute-force tests),
+so agreement between the two is strong evidence both are right.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import special
+
+from pamnet_tpu.data import graphbuild
+
+
+def silu(x):
+    return x / (1.0 + np.exp(-x))
+
+
+def linear(sd, name, x):
+    w = sd[name + ".weight"].astype(np.float64)
+    y = x @ w.T
+    if name + ".bias" in sd:
+        y = y + sd[name + ".bias"].astype(np.float64)
+    return y
+
+
+def mlp(sd, name, x, stages):
+    for s in range(stages):
+        x = silu(linear(sd, f"{name}.{s}.0", x))
+    return x
+
+
+def res(sd, name, x):
+    return mlp(sd, name + ".mlp", x, 2) + x
+
+
+def envelope(x, p=5):
+    a = -(p + 1) * (p + 2) / 2.0
+    b = p * (p + 2)
+    c = -p * (p + 1) / 2.0
+    val = 1.0 / x + a * x**p + b * x ** (p + 1) + c * x ** (p + 2)
+    return np.where(x < 1.0, val, 0.0)
+
+
+def bessel_rbf(sd, name, dist, cutoff):
+    freq = sd[name + ".freq"].astype(np.float64)
+    x = dist[:, None] / cutoff
+    return envelope(x) * np.sin(freq * x)
+
+
+def spherical_basis(dist, angle, idx_edge, cutoff, ns=7, nr=6):
+    from pamnet_tpu.ops.bessel import bessel_basis_tables
+
+    t = bessel_basis_tables(ns, nr)
+    x = dist / cutoff
+    rbf = np.zeros((len(dist), ns, nr))
+    for l in range(ns):
+        for n in range(nr):
+            rbf[:, l, n] = t["norm"][l, n] * special.spherical_jn(
+                l, t["zeros"][l, n] * x
+            )
+    rbf *= envelope(x)[:, None, None]
+    cbf = np.stack(
+        [
+            np.sqrt((2 * l + 1) / (4 * np.pi)) * special.eval_legendre(l, np.cos(angle))
+            for l in range(ns)
+        ],
+        axis=1,
+    )
+    return (rbf[idx_edge] * cbf[:, :, None]).reshape(len(angle), ns * nr)
+
+
+def scatter_add(values, idx, size):
+    out = np.zeros((size,) + values.shape[1:], dtype=values.dtype)
+    np.add.at(out, idx, values)
+    return out
+
+
+def global_mp(sd, pre, x, edge_attr, src, dst, flow):
+    res_x = x
+    x = mlp(sd, pre + "mlp_x1", x, 1)
+    if flow == "source_to_target":
+        x_i, x_j, agg = x[dst], x[src], dst
+    else:
+        x_i, x_j, agg = x[src], x[dst], src
+    m = mlp(sd, pre + "mlp_m", np.concatenate([x_i, x_j, edge_attr], -1), 1)
+    m = m * linear(sd, pre + "W_edge_attr", edge_attr)
+    x = x + scatter_add(m, agg, x.shape[0])
+    x = mlp(sd, pre + "mlp_x2", x, 1)
+    x = res(sd, pre + "res1", x) + res_x
+    x = res(sd, pre + "res2", x)
+    x = res(sd, pre + "res3", x)
+    out = mlp(sd, pre + "mlp_out", x, 3)
+    att = out @ sd[pre + "W"].astype(np.float64)
+    return x, linear(sd, pre + "W_out", out), att
+
+
+def local_mp(sd, pre, x, rbf, sbf2, sbf1, t2, t1, src, dst):
+    res_x = x
+    x = mlp(sd, pre + "mlp_x1", x, 1)
+    m = np.concatenate([x[dst], x[src], rbf], -1)
+    m_ji = mlp(sd, pre + "mlp_m_ji", m, 1)
+    m_nb = mlp(sd, pre + "mlp_m_kj", m, 1) * linear(sd, pre + "lin_rbf", rbf)
+    idx = np.concatenate([t2["idx_kj"], t1["idx_jj"]])
+    idx_sc = np.concatenate([t2["idx_ji"], t1["idx_ji"]])
+    sbf = np.concatenate([sbf2, sbf1], 0)
+    m_other = m_nb[idx] * mlp(sd, pre + "mlp_sbf", sbf, 2)
+    m_other = scatter_add(m_other, idx_sc, m.shape[0])
+    m = m_ji + m_other
+    m = linear(sd, pre + "lin_rbf_out", rbf) * m
+    x = x + scatter_add(m, dst, x.shape[0])
+    x = mlp(sd, pre + "mlp_x2", x, 1)
+    x = res(sd, pre + "res1", x) + res_x
+    x = res(sd, pre + "res2", x)
+    x = res(sd, pre + "res3", x)
+    out = mlp(sd, pre + "mlp_out", x, 3)
+    att = out @ sd[pre + "W"].astype(np.float64)
+    return x, linear(sd, pre + "W_out", out), att
+
+
+def angles(pos, a, b, c):
+    v1 = pos[b] - pos[a]
+    v2 = pos[c] - pos[b]
+    dot = np.sum(v1 * v2, -1)
+    cr = np.linalg.norm(np.cross(v1, v2), axis=-1)
+    return np.arctan2(cr, dot)
+
+
+def rna_forward(sd, mol, n_layer=1, cutoff_l=2.6, cutoff_g=20.0):
+    """Score one RNA molecule with the reference math, target_to_source flow
+    (reference: main_rna_puzzles.py:57, models.py:138-157,221)."""
+    pos = mol["pos"].astype(np.float64)
+    z = mol["z"].astype(np.int64)
+    n = pos.shape[0]
+
+    eknn = graphbuild.knn_graph_np(mol["pos"], 50, None)
+    eknn = graphbuild.remove_self_loops_np(eknn)
+    d = np.linalg.norm(pos[eknn[1]] - pos[eknn[0]], axis=-1)
+    eg = eknn[:, d <= cutoff_g]
+    el = eknn[:, d <= cutoff_l]
+    src, dst = el
+    dist_g = np.linalg.norm(pos[eg[1]] - pos[eg[0]], axis=-1)
+    dist_l = np.linalg.norm(pos[dst] - pos[src], axis=-1)
+
+    t2 = graphbuild.triplets_np(el, n)
+    t1 = graphbuild.pairs_np(el, n)
+    angle2 = angles(pos, t2["idx_i"], t2["idx_j"], t2["idx_k"])
+    angle1 = angles(pos, t1["idx_i"], t1["idx_j1"], t1["idx_j2"])
+
+    x = sd["embeddings"].astype(np.float64)[z]
+    rbf_l = bessel_rbf(sd, "rbf_l", dist_l, cutoff_l)
+    rbf_g = bessel_rbf(sd, "rbf_g", dist_g, cutoff_g)
+    sbf2 = spherical_basis(dist_l, angle2, t2["idx_kj"], cutoff_l)
+    sbf1 = spherical_basis(dist_l, angle1, t1["idx_jj"], cutoff_l)
+
+    ea_rbf_l = mlp(sd, "mlp_rbf_l", rbf_l, 1)
+    ea_rbf_g = mlp(sd, "mlp_rbf_g", rbf_g, 1)
+    ea_sbf2 = mlp(sd, "mlp_sbf2", sbf2, 1)
+    ea_sbf1 = mlp(sd, "mlp_sbf1", sbf1, 1)
+
+    outs, atts = [], []
+    for layer in range(n_layer):
+        x, og, ag = global_mp(
+            sd, f"global_layer.{layer}.", x, ea_rbf_g, eg[0], eg[1],
+            "target_to_source",
+        )
+        x, ol, al = local_mp(
+            sd, f"local_layer.{layer}.", x, ea_rbf_l, ea_sbf2, ea_sbf1, t2, t1,
+            src, dst,
+        )
+        outs.append((og, ol))
+        atts.append((ag, al))
+
+    # Fusion (reference: models.py:206-213): per (layer, node) 2-way softmax.
+    att = np.stack(
+        [np.stack([a[0][:, 0] for a in atts]), np.stack([a[1][:, 0] for a in atts])],
+        axis=-1,
+    )  # (L, N, 2)
+    att = np.where(att > 0, att, 0.2 * att)  # leaky_relu
+    att = np.exp(att - att.max(-1, keepdims=True))
+    att = att / att.sum(-1, keepdims=True)
+    out = np.stack(
+        [np.stack([o[0][:, 0] for o in outs]), np.stack([o[1][:, 0] for o in outs])],
+        axis=-1,
+    )
+    node_out = (out * att).sum(-1).sum(0)
+    return float(node_out.mean())
