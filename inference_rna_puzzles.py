@@ -1,0 +1,120 @@
+"""RNA-Puzzles candidate-structure scoring (the reference's "serve" path:
+inference_rna_puzzles.py:21-86).
+
+Loads a trained checkpoint (either the reference's legacy torch
+``pamnet_rna.pt`` or a native pamnet_tpu checkpoint), scores every structure
+in a TU-format dataset, and writes ``rna_puzzles_predictions/<dataset>.csv``
+with columns ``PAMNet, tag, puzzle_number`` (the reference CSV contract).
+
+Reproduction command (reference README.md:107-109):
+    python inference_rna_puzzles.py --batch_size=16 --dataset='rna_native' \
+        --saved_model='pamnet_rna.pt'
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+
+import numpy as np
+
+from pamnet_tpu.config import PAMNetConfig
+from pamnet_tpu.utils.runtime import enable_compilation_cache, resolve_path, set_seed
+
+REFERENCE_ROOT = os.environ.get("PAMNET_REFERENCE_ROOT", "/root/reference")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--gpu', type=int, default=0,
+                        help='Device ordinal (kept for reference CLI parity).')
+    parser.add_argument('--seed', type=int, default=40, help='Random seed.')
+    parser.add_argument('--dataset', type=str, default='rna_native', help='Dataset to be used')
+    parser.add_argument('--epochs', type=int, default=150, help='(unused, CLI parity)')
+    parser.add_argument('--lr', type=float, default=1e-4, help='(unused, CLI parity)')
+    parser.add_argument('--wd', type=float, default=0, help='(unused, CLI parity)')
+    parser.add_argument('--n_layer', type=int, default=1, help='Number of hidden layers.')
+    parser.add_argument('--dim', type=int, default=16, help='Size of input hidden units.')
+    parser.add_argument('--batch_size', type=int, default=8, help='batch_size')
+    parser.add_argument('--cutoff_l', type=float, default=2.6, help='cutoff in local layer')
+    parser.add_argument('--cutoff_g', type=float, default=20.0, help='cutoff in global layer')
+    parser.add_argument('--flow', type=str, default='target_to_source',
+                        help='Flow direction of message passing')
+    parser.add_argument('--saved_model', type=str, default='pamnet_rna.pt',
+                        help='Saved model for inference')
+    parser.add_argument('--data_root', type=str, default=None,
+                        help='Override dataset root (default ./data, falling back '
+                             'to the mounted reference data)')
+    parser.add_argument('--precision', type=str, default='float32',
+                        choices=['default', 'float32'],
+                        help='MXU matmul precision; float32 reproduces the '
+                             'reference f32 scores, default (bf16) is faster')
+    args = parser.parse_args()
+
+    set_seed(args.seed)
+    enable_compilation_cache()
+    from pamnet_tpu.utils.runtime import set_matmul_precision
+    set_matmul_precision(args.precision)
+
+    import jax
+    import jax.numpy as jnp
+
+    from pamnet_tpu.data.loader import GraphLoader
+    from pamnet_tpu.data.tu import TUDataset
+    from pamnet_tpu.models import apply_pamnet
+    from pamnet_tpu.train.checkpoint import load_checkpoint, load_torch_checkpoint
+    from pamnet_tpu.models import init_pamnet
+
+    data_root = args.data_root or resolve_path(
+        osp.join('.', 'data', 'RNA-Puzzles'),
+        osp.join(REFERENCE_ROOT, 'data', 'RNA-Puzzles'),
+    )
+    ds = TUDataset(data_root, args.dataset)
+    print(f"Data loaded! {len(ds)} structures from {data_root}")
+
+    cfg = PAMNetConfig(
+        dataset=args.dataset, dim=args.dim, n_layer=args.n_layer,
+        cutoff_l=args.cutoff_l, cutoff_g=args.cutoff_g, flow=args.flow,
+    )
+
+    ckpt_path = resolve_path(
+        osp.join('.', 'save', args.saved_model),
+        osp.join(REFERENCE_ROOT, 'save', args.saved_model),
+    )
+    if args.saved_model.endswith('.pt'):
+        params = load_torch_checkpoint(ckpt_path)
+    else:
+        template = init_pamnet(jax.random.PRNGKey(0), cfg)
+        params = load_checkpoint(ckpt_path, template)
+    print(f"Model loaded from {ckpt_path}. Start prediction!")
+
+    loader = GraphLoader(
+        ds.molecules(), cfg.dataset_kind, cfg.cutoff_l, cfg.cutoff_g,
+        batch_size=args.batch_size, shuffle=False,
+    )
+    fwd = jax.jit(lambda p, g: apply_pamnet(p, g, cfg))
+
+    y_hat = []
+    for gb in loader.prefetch():
+        out = fwd(params, jax.tree.map(jnp.asarray, gb))
+        nb = int(gb.graph_mask.sum())
+        y_hat.append(np.asarray(out)[:nb])
+    y_hat = np.concatenate(y_hat)
+
+    # CSV contract (reference: inference_rna_puzzles.py:70-80): tag strips the
+    # trailing 4 chars (".pdb"); puzzle_number strips the "rna_<x>_" prefix.
+    name_list = [n[:-4] for n in (ds.names or [])]
+    out_dir = osp.join('.', 'rna_puzzles_predictions')
+    os.makedirs(out_dir, exist_ok=True)
+    file_name = osp.join(out_dir, args.dataset + '.csv')
+    puzzle_number = args.dataset[5:]
+    with open(file_name, 'w') as f:
+        f.write('PAMNet,tag,puzzle_number\n')
+        for score, tag in zip(y_hat, name_list):
+            f.write(f'{score},{tag},{puzzle_number}\n')
+    print(f"Prediction saved. ({file_name}, {len(y_hat)} rows)")
+
+
+if __name__ == "__main__":
+    main()

@@ -139,20 +139,16 @@ def _mask(count: int, size: int) -> np.ndarray:
     return m
 
 
-def build_graph_batch(
-    mols: list[dict],
-    dataset_kind: str,
-    cutoff_l: float,
-    cutoff_g: float,
-    pads: PadSizes | None = None,
+def precompute_structure(
+    mol: dict, dataset_kind: str, cutoff_l: float, cutoff_g: float,
     variant: str = "full",
-    align: int = 128,
-) -> GraphBatch:
-    """Collate a list of molecules into one padded ``GraphBatch``.
+) -> dict:
+    """Build one molecule's full graph structure (host, cacheable).
 
-    Each molecule dict carries: ``pos`` (n,3) float; ``y`` scalar; and
-    depending on dataset kind: ``z`` (n,) int (qm9/rna atom types),
-    ``edge_index`` (2,e) int (qm9 bond graph), ``feat`` (n,F) float (pdbbind).
+    Positions are static in every supported dataset, so this runs once per
+    molecule per config; batches are then assembled by pure index offsetting
+    (:func:`collate_structures`) — the reference instead re-runs radius/knn +
+    triplet CUDA kernels on every forward (models.py:110,143,162).
 
     Graph construction per dataset matches the reference forward exactly:
       * qm9:    local = provided bond graph; global = radius(cutoff_g),
@@ -164,40 +160,22 @@ def build_graph_batch(
     Two-hop triplets and one-hop pairs are enumerated on the *local* edges
     (models.py:162); PAMNet_s keeps only one-hop pairs (models.py:263-283).
     """
-    # ---- concatenate graphs with node offsets ----
-    n_per = [m["pos"].shape[0] for m in mols]
-    offsets = np.cumsum([0] + n_per[:-1])
-    pos = np.concatenate([np.asarray(m["pos"], np.float32) for m in mols])
-    node_graph = np.concatenate(
-        [np.full(n, gi, np.int32) for gi, n in enumerate(n_per)]
-    )
-    num_nodes = pos.shape[0]
-    y = np.array([float(m["y"]) for m in mols], dtype=np.float32)
+    pos = np.asarray(mol["pos"], np.float32)
+    n = pos.shape[0]
 
-    if dataset_kind in ("qm9", "rna"):
-        z = np.concatenate([np.asarray(m["z"], np.int32) for m in mols])
-        feat = np.zeros((num_nodes, 0), dtype=np.float32)
-    else:  # pdbbind
-        z = np.zeros(num_nodes, dtype=np.int32)
-        feat = np.concatenate([np.asarray(m["feat"], np.float32) for m in mols])
-
-    # ---- edges ----
     if dataset_kind == "qm9":
-        el = np.concatenate(
-            [np.asarray(m["edge_index"], np.int64) + off for m, off in zip(mols, offsets)],
-            axis=1,
-        ).astype(np.int32)
+        el = np.asarray(mol["edge_index"], np.int64).astype(np.int32)
         el = graphbuild.remove_self_loops_np(el)
         max_nb = 500 if variant == "s" else 1000
-        eg = graphbuild.radius_graph_np(pos, cutoff_g, node_graph, max_nb)
+        eg = graphbuild.radius_graph_np(pos, cutoff_g, None, max_nb)
         eg = graphbuild.remove_self_loops_np(eg)
     elif dataset_kind == "pdbbind":
-        eg = graphbuild.radius_graph_np(pos, cutoff_g, node_graph, 1000)
+        eg = graphbuild.radius_graph_np(pos, cutoff_g, None, 1000)
         eg = graphbuild.remove_self_loops_np(eg)
         dist_g = graphbuild.edge_distances_np(eg, pos)
         el = eg[:, dist_g <= cutoff_l]
     elif dataset_kind == "rna":
-        eknn = graphbuild.knn_graph_np(pos, 50, node_graph)
+        eknn = graphbuild.knn_graph_np(pos, 50, None)
         eknn = graphbuild.remove_self_loops_np(eknn)
         dist_knn = graphbuild.edge_distances_np(eknn, pos)
         eg = eknn[:, dist_knn <= cutoff_g]
@@ -205,26 +183,89 @@ def build_graph_batch(
     else:
         raise ValueError(f"unknown dataset kind: {dataset_kind}")
 
-    # ---- triplet tables on the local plex ----
     if variant == "full":
-        t2 = graphbuild.triplets_np(el, num_nodes)
+        t2 = graphbuild.triplets_np(el, n)
     else:
-        t2 = {k: np.zeros(0, np.int32) for k in ("idx_i", "idx_j", "idx_k", "idx_kj", "idx_ji")}
-    t1 = graphbuild.pairs_np(el, num_nodes)
+        t2 = {
+            k: np.zeros(0, np.int32)
+            for k in ("idx_i", "idx_j", "idx_k", "idx_kj", "idx_ji")
+        }
+    t1 = graphbuild.pairs_np(el, n)
 
-    # ---- pad ----
+    s = {
+        "pos": pos,
+        "y": np.float32(mol["y"]),
+        "eg": eg.astype(np.int32),
+        "el": el.astype(np.int32),
+        "t2": t2,
+        "t1": t1,
+    }
+    if dataset_kind == "pdbbind":
+        s["feat"] = np.asarray(mol["feat"], np.float32)
+        s["z"] = np.zeros(n, np.int32)
+    else:
+        s["z"] = np.asarray(mol["z"], np.int32)
+        s["feat"] = np.zeros((n, 0), np.float32)
+    return s
+
+
+def structure_counts(s: dict) -> tuple[int, int, int, int, int]:
+    return (
+        s["pos"].shape[0],
+        s["eg"].shape[1],
+        s["el"].shape[1],
+        s["t2"]["idx_ji"].shape[0],
+        s["t1"]["idx_ji"].shape[0],
+    )
+
+
+def collate_structures(structs: list[dict], pads: PadSizes | None = None,
+                       align: int = 128) -> GraphBatch:
+    """Assemble precomputed per-molecule structures into one padded batch by
+    offsetting node ids (by node counts) and edge ids (by local-edge counts)."""
+    n_per = [s["pos"].shape[0] for s in structs]
+    el_per = [s["el"].shape[1] for s in structs]
+    n_off = np.cumsum([0] + n_per[:-1])
+    el_off = np.cumsum([0] + el_per[:-1])
+
+    pos = np.concatenate([s["pos"] for s in structs])
+    z = np.concatenate([s["z"] for s in structs])
+    feat = np.concatenate([s["feat"] for s in structs])
+    node_graph = np.concatenate(
+        [np.full(n, gi, np.int32) for gi, n in enumerate(n_per)]
+    )
+    y = np.array([s["y"] for s in structs], dtype=np.float32)
+    num_nodes = pos.shape[0]
+
+    eg = np.concatenate(
+        [s["eg"] + o for s, o in zip(structs, n_off)], axis=1
+    )
+    el = np.concatenate(
+        [s["el"] + o for s, o in zip(structs, n_off)], axis=1
+    )
+
+    def cat_t(key_nodes, key_edges, table):
+        node_cols = {
+            k: np.concatenate([s[table][k] + no for s, no in zip(structs, n_off)])
+            for k in key_nodes
+        }
+        edge_cols = {
+            k: np.concatenate([s[table][k] + eo for s, eo in zip(structs, el_off)])
+            for k in key_edges
+        }
+        return {**node_cols, **edge_cols}
+
+    t2 = cat_t(("idx_i", "idx_j", "idx_k"), ("idx_kj", "idx_ji"), "t2")
+    t1 = cat_t(("idx_i", "idx_j1", "idx_j2"), ("idx_jj", "idx_ji"), "t1")
+
     if pads is None:
         pads = PadSizes.bucketed(
-            num_nodes,
-            eg.shape[1],
-            el.shape[1],
-            max(t2["idx_ji"].shape[0], 1),
-            max(t1["idx_ji"].shape[0], 1),
-            len(mols),
-            align=align,
+            num_nodes, eg.shape[1], el.shape[1],
+            max(t2["idx_ji"].shape[0], 1), max(t1["idx_ji"].shape[0], 1),
+            len(structs), align=align,
         )
 
-    nb = len(mols)
+    nb = len(structs)
     return GraphBatch(
         z=_pad1(z, pads.n),
         feat=_pad1(feat, pads.n),
@@ -252,3 +293,20 @@ def build_graph_batch(
         y=_pad1(y, pads.g),
         graph_mask=_mask(nb, pads.g),
     )
+
+
+def build_graph_batch(
+    mols: list[dict],
+    dataset_kind: str,
+    cutoff_l: float,
+    cutoff_g: float,
+    pads: PadSizes | None = None,
+    variant: str = "full",
+    align: int = 128,
+) -> GraphBatch:
+    """Convenience: precompute + collate in one call."""
+    structs = [
+        precompute_structure(m, dataset_kind, cutoff_l, cutoff_g, variant)
+        for m in mols
+    ]
+    return collate_structures(structs, pads=pads, align=align)

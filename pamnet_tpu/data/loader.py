@@ -1,0 +1,118 @@
+"""Batch loader: per-molecule structure cache + padded batch assembly with a
+background prefetch thread.
+
+The TPU-native replacement for PyG's ``DataLoader`` collation: graph
+structure is built once per molecule (host numpy / C++), batches are
+assembled by index offsetting, padded to a fixed-size bucket, and prefetched
+so host collation overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from pamnet_tpu.data.batch import (
+    GraphBatch,
+    PadSizes,
+    collate_structures,
+    precompute_structure,
+    structure_counts,
+)
+
+
+class GraphLoader:
+    """Iterates padded ``GraphBatch``es over a molecule list.
+
+    Args:
+      mols: list of molecule dicts (see ``precompute_structure``).
+      dataset_kind: "qm9" | "pdbbind" | "rna".
+      pads: fixed bucket; if None, computed from the dataset's worst-case
+        batch so every batch compiles to a single shape.
+      drop_last: drop the trailing partial batch (training) or pad it (eval).
+    """
+
+    def __init__(
+        self,
+        mols: list[dict],
+        dataset_kind: str,
+        cutoff_l: float,
+        cutoff_g: float,
+        batch_size: int,
+        variant: str = "full",
+        shuffle: bool = False,
+        seed: int = 0,
+        pads: PadSizes | None = None,
+        drop_last: bool = False,
+        align: int = 128,
+    ):
+        self.dataset_kind = dataset_kind
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        self.structs = [
+            precompute_structure(m, dataset_kind, cutoff_l, cutoff_g, variant)
+            for m in mols
+        ]
+        if pads is None:
+            pads = self._worst_case_pads(align)
+        self.pads = pads
+
+    def _worst_case_pads(self, align: int) -> PadSizes:
+        """Upper bound: sum of the batch_size largest counts per dimension.
+        One compiled shape for the whole dataset."""
+        counts = np.array([structure_counts(s) for s in self.structs])
+        b = min(self.batch_size, len(self.structs))
+        tops = np.sort(counts, axis=0)[-b:]  # (b, 5) largest per column
+        n, eg, el, t2, t1 = tops.sum(axis=0)
+        return PadSizes.for_counts(
+            n, max(eg, 1), max(el, 1), max(t2, 1), max(t1, 1),
+            self.batch_size, align=align,
+        )
+
+    def __len__(self) -> int:
+        n = len(self.structs)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def num_molecules(self) -> int:
+        return len(self.structs)
+
+    def batches(self) -> "list[list[int]]":
+        order = np.arange(len(self.structs))
+        if self.shuffle:
+            order = self._rng.permutation(order)
+        out = []
+        for i in range(0, len(order), self.batch_size):
+            chunk = order[i : i + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                break
+            out.append(chunk.tolist())
+        return out
+
+    def __iter__(self):
+        for idxs in self.batches():
+            yield collate_structures([self.structs[i] for i in idxs], self.pads)
+
+    def prefetch(self, depth: int = 2):
+        """Iterate with a background collation thread (overlaps host batch
+        assembly with device compute)."""
+        q: queue.Queue = queue.Queue(maxsize=depth)
+        stop = object()
+
+        def worker():
+            try:
+                for gb in self:
+                    q.put(gb)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
