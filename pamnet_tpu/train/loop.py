@@ -1,0 +1,163 @@
+"""Jitted training/eval steps, single-chip and data-parallel (shard_map).
+
+The data-parallel path is the TPU-native replacement for the parallelism the
+reference lacks entirely (SURVEY.md section 2.3): a 1-D device mesh with the
+batch dimension sharded, gradients reduced with ``psum`` over ICI, parameters
+replicated.  The same compiled program runs on a virtual CPU mesh (tests) and
+a real TPU pod slice.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.7 exposes shard_map at top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from pamnet_tpu.config import PAMNetConfig
+from pamnet_tpu.data.batch import GraphBatch
+from pamnet_tpu.models import apply_pamnet
+from pamnet_tpu.train.ema import ema_init, ema_update
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    ema: Any
+    step: jax.Array
+
+
+def _loss_terms(pred, y, graph_mask, kind: str):
+    """Masked per-graph error sum + count (losses match the drivers:
+    l1 for QM9 main_qm9.py:108, mse for PDBbind main_pdbbind.py:95,
+    smooth_l1 for RNA main_rna_puzzles.py:92)."""
+    err = pred - y
+    if kind == "l1":
+        e = jnp.abs(err)
+    elif kind == "mse":
+        e = err * err
+    elif kind == "smooth_l1":
+        a = jnp.abs(err)
+        e = jnp.where(a < 1.0, 0.5 * err * err, a - 0.5)
+    else:
+        raise ValueError(kind)
+    return jnp.sum(e * graph_mask), jnp.sum(graph_mask)
+
+
+def make_optimizer(schedule, weight_decay: float = 0.0, clip_norm: float | None = None):
+    """Adam (+ optional global-norm clip, reference main_qm9.py:111) matching
+    torch.optim.Adam defaults (b1=0.9, b2=0.999, eps=1e-8, L2-style wd)."""
+    tx = []
+    if clip_norm is not None:
+        tx.append(optax.clip_by_global_norm(clip_norm))
+    if weight_decay:
+        tx.append(optax.add_decayed_weights(weight_decay))
+    tx.append(optax.scale_by_adam())
+    tx.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*tx)
+
+
+def init_train_state(params, optimizer, use_ema: bool = True) -> TrainState:
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        ema=ema_init(params) if use_ema else None,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(cfg: PAMNetConfig, optimizer, loss_kind: str,
+                    ema_decay: float | None = 0.999):
+    """Single-device jitted train step: state, batch -> state, loss."""
+
+    def loss_fn(params, batch: GraphBatch):
+        pred = apply_pamnet(params, batch, cfg)
+        total, count = _loss_terms(pred, batch.y, batch.graph_mask, loss_kind)
+        return total / jnp.maximum(count, 1.0)
+
+    @jax.jit
+    def step(state: TrainState, batch: GraphBatch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = (
+            ema_update(state.ema, params, ema_decay)
+            if state.ema is not None
+            else None
+        )
+        return TrainState(params, opt_state, ema, state.step + 1), loss
+
+    return step
+
+
+def make_eval_step(cfg: PAMNetConfig):
+    """Masked prediction: returns (pred, graph_mask) for metric accumulation
+    on host (under EMA weights when the caller passes state.ema)."""
+
+    @jax.jit
+    def step(params, batch: GraphBatch):
+        return apply_pamnet(params, batch, cfg)
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Data parallel over a 1-D mesh
+# ---------------------------------------------------------------------------
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+
+    return Mesh(np.array(devs), (axis,))
+
+
+def stack_microbatches(batches: list[GraphBatch]) -> GraphBatch:
+    """Stack D same-shaped microbatches into leading dim D for sharding."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, 0), *batches)
+
+
+def make_dp_train_step(cfg: PAMNetConfig, optimizer, loss_kind: str, mesh: Mesh,
+                       ema_decay: float | None = 0.999, axis: str = "dp"):
+    """Data-parallel train step: batch has leading device axis D; gradients
+    are psum-reduced over ICI; params/optimizer state replicated."""
+
+    def local_loss(params, batch: GraphBatch):
+        pred = apply_pamnet(params, batch, cfg)
+        total, count = _loss_terms(pred, batch.y, batch.graph_mask, loss_kind)
+        global_count = jax.lax.psum(count, axis)
+        return total / jnp.maximum(global_count, 1.0)
+
+    def shard_step(state: TrainState, batch: GraphBatch):
+        batch = jax.tree.map(lambda x: x[0], batch)  # strip device axis
+        local, grads = jax.value_and_grad(local_loss)(state.params, batch)
+        grads = jax.lax.psum(grads, axis)
+        loss = jax.lax.psum(local, axis)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = (
+            ema_update(state.ema, params, ema_decay)
+            if state.ema is not None
+            else None
+        )
+        return TrainState(params, opt_state, ema, state.step + 1), loss
+
+    sharded = shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,162 @@
+"""Training-loop tests: loss descends on a tiny problem, EMA matches the
+reference recurrence, schedules match the reference drivers' shapes,
+checkpoints roundtrip, and the data-parallel step equals the single-device
+step on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pamnet_tpu.config import PAMNetConfig
+from pamnet_tpu.data.batch import PadSizes, build_graph_batch
+from pamnet_tpu.models import apply_pamnet, init_pamnet
+from pamnet_tpu.train import ema_init, ema_update
+from pamnet_tpu.train.loop import (
+    TrainState,
+    init_train_state,
+    make_dp_train_step,
+    make_eval_step,
+    make_mesh,
+    make_optimizer,
+    make_train_step,
+    stack_microbatches,
+)
+from pamnet_tpu.train.schedules import constant, multistep, warmup_exponential
+
+CFG = PAMNetConfig(dataset="QM9", dim=16, n_layer=1, cutoff_l=5.0, cutoff_g=5.0)
+
+
+def _mols(rng, n_mols, seed_y=True):
+    mols = []
+    for _ in range(n_mols):
+        n = int(rng.integers(5, 10))
+        pos = (rng.random((n, 3)) * 3.0).astype(np.float32)
+        src = np.concatenate([np.arange(n - 1), np.arange(1, n)])
+        dst = np.concatenate([np.arange(1, n), np.arange(n - 1)])
+        mols.append(
+            dict(
+                z=rng.integers(0, 5, n).astype(np.int32),
+                pos=pos,
+                edge_index=np.stack([src, dst]),
+                y=float(n) if seed_y else 0.0,  # learnable target: atom count
+            )
+        )
+    return mols
+
+
+PADS = PadSizes(n=128, eg=1024, el=128, t2=512, t1=512, g=8)
+
+
+def _batch(rng, n_mols=4):
+    gb = build_graph_batch(_mols(rng, n_mols), "qm9", 5.0, 5.0, pads=PADS)
+    return jax.tree.map(jnp.asarray, gb)
+
+
+def test_loss_decreases(rng):
+    batch = _batch(rng)
+    params = init_pamnet(jax.random.PRNGKey(0), CFG)
+    opt = make_optimizer(constant(1e-3), clip_norm=1000.0)
+    state = init_train_state(params, opt)
+    step = make_train_step(CFG, opt, "l1")
+    losses = []
+    for _ in range(30):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < 0.5 * losses[0], losses[:3] + losses[-3:]
+    assert int(state.step) == 30
+
+
+def test_ema_recurrence_matches_reference(rng):
+    params = {"a": jnp.asarray([1.0, 2.0]), "b": {"c": jnp.asarray([3.0])}}
+    shadow = ema_init(params)
+    new = {"a": jnp.asarray([2.0, 0.0]), "b": {"c": jnp.asarray([1.0])}}
+    shadow = ema_update(shadow, new, decay=0.9, num_updates=99999)
+    # d = min(0.9, 100000/100009) = 0.9 -> shadow = 0.1*new + 0.9*old
+    np.testing.assert_allclose(np.asarray(shadow["a"]), [1.1, 1.8], rtol=1e-6)
+    # Early-step bias correction: n=0 -> d = min(0.9, 1/10) = 0.1
+    shadow2 = ema_update(ema_init(params), new, decay=0.9, num_updates=0)
+    np.testing.assert_allclose(np.asarray(shadow2["a"]), [1.9, 0.2], rtol=1e-6)
+
+
+def test_warmup_exponential_schedule():
+    sched = warmup_exponential(1e-4, steps_per_epoch=100)
+    # Linear ramp during epoch 0.
+    np.testing.assert_allclose(float(sched(0)), 0.0, atol=1e-12)
+    np.testing.assert_allclose(float(sched(50)), 0.5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(100)), 1e-4, rtol=1e-6)
+    # Exponential decay afterwards: gamma^(t-1).
+    np.testing.assert_allclose(
+        float(sched(300)), 1e-4 * 0.9961697**2, rtol=1e-5
+    )
+
+
+def test_multistep_schedule():
+    sched = multistep(1e-3, steps_per_epoch=10)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(10 * 50)) == pytest.approx(1e-3 * 0.2)
+    assert float(sched(10 * 100)) == pytest.approx(1e-3 * 0.04)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    from pamnet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    params = init_pamnet(jax.random.PRNGKey(0), CFG)
+    opt = make_optimizer(constant(1e-3))
+    state = init_train_state(params, opt)
+    step = make_train_step(CFG, opt, "l1")
+    state, _ = step(state, _batch(rng))
+
+    path = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint(path, state)
+    template = init_train_state(init_pamnet(jax.random.PRNGKey(7), CFG), opt)
+    restored = load_checkpoint(path, template)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dp_step_matches_single_device(rng):
+    """8-way data parallel on the virtual CPU mesh == single big batch."""
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    micro = [_batch(rng, n_mols=2) for _ in range(8)]
+    stacked = stack_microbatches(micro)
+
+    params = init_pamnet(jax.random.PRNGKey(0), CFG)
+    opt = make_optimizer(constant(1e-3))
+    mesh = make_mesh(8)
+    dp_step = make_dp_train_step(CFG, opt, "l1", mesh)
+    state0 = init_train_state(params, opt)
+    state_dp, loss_dp = dp_step(state0, stacked)
+
+    # Single-device equivalent: average the per-shard normalized losses by
+    # computing the same global-count normalization manually.
+    from pamnet_tpu.train.loop import _loss_terms
+
+    def big_loss(p):
+        totals, counts = [], []
+        for b in micro:
+            pred = apply_pamnet(p, b, CFG)
+            t, c = _loss_terms(pred, b.y, b.graph_mask, "l1")
+            totals.append(t)
+            counts.append(c)
+        return sum(totals) / sum(counts)
+
+    loss_ref, grads_ref = jax.value_and_grad(big_loss)(params)
+    np.testing.assert_allclose(float(loss_dp), float(loss_ref), rtol=1e-5)
+
+    import optax
+
+    updates, _ = opt.update(grads_ref, state0.opt_state, params)
+    params_ref = optax.apply_updates(params, updates)
+    for a, b in zip(jax.tree.leaves(state_dp.params), jax.tree.leaves(params_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+
+
+def test_eval_step(rng):
+    params = init_pamnet(jax.random.PRNGKey(0), CFG)
+    ev = make_eval_step(CFG)
+    batch = _batch(rng)
+    pred = ev(params, batch)
+    assert pred.shape == batch.y.shape
+    assert np.all(np.isfinite(np.asarray(pred)))
