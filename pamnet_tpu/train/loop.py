@@ -158,6 +158,5 @@ def make_dp_train_step(cfg: PAMNetConfig, optimizer, loss_kind: str, mesh: Mesh,
         mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=(P(), P()),
-        check_rep=False,
     )
     return jax.jit(sharded)
