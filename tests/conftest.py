@@ -21,10 +21,9 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
-# Persistent compilation cache: repeated pytest runs skip XLA recompiles.
-jax.config.update("jax_compilation_cache_dir", "/tmp/pamnet_jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NOTE: no persistent compilation cache here — XLA:CPU AOT cache entries are
+# machine-feature-specific and this pool mixes host types (SIGILL risk).
+# Drivers enable it for TPU runs, where it is safe and saves 20-40s compiles.
 
 import numpy as np
 import pytest
