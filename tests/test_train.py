@@ -123,7 +123,11 @@ def test_dp_step_matches_single_device(rng):
     stacked = stack_microbatches(micro)
 
     params = init_pamnet(jax.random.PRNGKey(0), CFG)
-    opt = make_optimizer(constant(1e-3))
+    # SGD: params diff is linear in grads, so the comparison is well
+    # conditioned (Adam's g/sqrt(v) amplifies float reassociation when g~0).
+    import optax
+
+    opt = optax.sgd(0.1)
     mesh = make_mesh(8)
     dp_step = make_dp_train_step(CFG, opt, "l1", mesh)
     state0 = init_train_state(params, opt)
@@ -145,14 +149,10 @@ def test_dp_step_matches_single_device(rng):
     loss_ref, grads_ref = jax.value_and_grad(big_loss)(params)
     np.testing.assert_allclose(float(loss_dp), float(loss_ref), rtol=1e-5)
 
-    import optax
-
     updates, _ = opt.update(grads_ref, state0.opt_state, params)
     params_ref = optax.apply_updates(params, updates)
-    # Adam amplifies tiny float-reassociation differences (psum-of-grads vs
-    # serial sum) when grads are near zero; tolerance reflects that.
     for a, b in zip(jax.tree.leaves(state_dp.params), jax.tree.leaves(params_ref)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
 def test_eval_step(rng):
