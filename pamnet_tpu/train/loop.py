@@ -141,8 +141,10 @@ def make_dp_train_step(cfg: PAMNetConfig, optimizer, loss_kind: str, mesh: Mesh,
 
     def shard_step(state: TrainState, batch: GraphBatch):
         batch = jax.tree.map(lambda x: x[0], batch)  # strip device axis
+        # NOTE: params are replicated (in_spec P()), so under shard_map's
+        # replication typing jax.grad already psums the cotangents across the
+        # mesh axis — grads arrive globally reduced; do NOT psum again.
         local, grads = jax.value_and_grad(local_loss)(state.params, batch)
-        grads = jax.lax.psum(grads, axis)
         loss = jax.lax.psum(local, axis)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
