@@ -1,0 +1,133 @@
+"""PDBbind binding-affinity training driver (reference: main_pdbbind.py):
+MSE loss, MultiStepLR(gamma=0.2, every 50 epochs), eval quad
+RMSE/MAE/SD/Pearson on the core set, 90/10 non-shuffled train/val split.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import time
+
+import numpy as np
+
+from pamnet_tpu.utils.metrics import mae, pearson, rmse, sd
+from pamnet_tpu.utils.runtime import (
+    enable_compilation_cache, resolve_path, set_seed,
+)
+
+REFERENCE_ROOT = os.environ.get("PAMNET_REFERENCE_ROOT", "/root/reference")
+
+
+def evaluate(eval_step, params, loader, to_device):
+    preds, ys = [], []
+    for gb in loader.prefetch():
+        pred = np.asarray(eval_step(params, to_device(gb)))
+        mask = np.asarray(gb.graph_mask) > 0
+        preds.append(pred[mask])
+        ys.append(np.asarray(gb.y)[mask])
+    preds, ys = np.concatenate(preds), np.concatenate(ys)
+    return rmse(ys, preds), mae(ys, preds), sd(ys, preds), pearson(ys, preds)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--gpu', type=int, default=0, help='Device ordinal (CLI parity).')
+    parser.add_argument('--seed', type=int, default=805, help='Random seed.')
+    parser.add_argument('--dataset', type=str, default='PDBbind', help='Dataset to be used')
+    parser.add_argument('--epochs', type=int, default=200, help='Number of epochs to train.')
+    parser.add_argument('--lr', type=float, default=5e-4, help='Initial learning rate.')
+    parser.add_argument('--wd', type=float, default=0, help='Weight decay (L2 loss).')
+    parser.add_argument('--n_layer', type=int, default=2, help='Number of hidden layers.')
+    parser.add_argument('--dim', type=int, default=128, help='Size of input hidden units.')
+    parser.add_argument('--batch_size', type=int, default=32, help='batch_size')
+    parser.add_argument('--cutoff_l', type=float, default=2.0, help='cutoff in local layer')
+    parser.add_argument('--cutoff_g', type=float, default=6.0, help='cutoff in global layer')
+    parser.add_argument('--data_root', type=str, default=None)
+    parser.add_argument('--platform', type=str, default='auto')
+    parser.add_argument('--precision', type=str, default='float32',
+                        choices=['default', 'float32'])
+    args = parser.parse_args()
+
+    set_seed(args.seed)
+    from pamnet_tpu.utils.runtime import set_matmul_precision, set_platform
+    set_platform(args.platform)
+    enable_compilation_cache()
+    set_matmul_precision(args.precision)
+
+    import jax
+    import jax.numpy as jnp
+
+    from pamnet_tpu.config import PAMNetConfig
+    from pamnet_tpu.data.loader import GraphLoader
+    from pamnet_tpu.data.tu import TUDataset
+    from pamnet_tpu.models import count_parameters, init_pamnet
+    from pamnet_tpu.train.loop import (
+        init_train_state, make_eval_step, make_optimizer, make_train_step,
+    )
+    from pamnet_tpu.train.schedules import multistep
+
+    data_root = args.data_root or resolve_path(
+        osp.join('.', 'data', args.dataset),
+        osp.join(REFERENCE_ROOT, 'data', args.dataset),
+    )
+    refined = TUDataset(data_root, 'train_val').molecules()
+    core = TUDataset(data_root, 'test').molecules()
+    # Non-shuffled 90/10 split (reference: main_pdbbind.py:67 train_test_split
+    # with shuffle=False takes the first 90% as train; sklearn ceils the
+    # test fraction).
+    import math
+    n_train = len(refined) - math.ceil(len(refined) * 0.1)
+    train_mols, val_mols = refined[:n_train], refined[n_train:]
+    print(f"Data loaded! train={len(train_mols)} val={len(val_mols)} test={len(core)}")
+
+    cfg = PAMNetConfig(dataset='PDBbind', dim=args.dim, n_layer=args.n_layer,
+                       cutoff_l=args.cutoff_l, cutoff_g=args.cutoff_g)
+
+    common = dict(dataset_kind='pdbbind', cutoff_l=cfg.cutoff_l,
+                  cutoff_g=cfg.cutoff_g)
+    train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
+                               shuffle=True, seed=args.seed, **common)
+    val_loader = GraphLoader(val_mols, batch_size=args.batch_size, **common)
+    test_loader = GraphLoader(core, batch_size=args.batch_size, **common)
+
+    params = init_pamnet(jax.random.PRNGKey(args.seed), cfg)
+    print("Number of model parameters:", count_parameters(params))
+    optimizer = make_optimizer(
+        multistep(args.lr, steps_per_epoch=len(train_loader)),
+        weight_decay=args.wd,
+    )
+    state = init_train_state(params, optimizer, use_ema=False)
+    step_fn = make_train_step(cfg, optimizer, "mse", ema_decay=None)
+    eval_step = make_eval_step(cfg)
+
+    def to_device(gb):
+        return jax.tree.map(jnp.asarray, gb)
+
+    print("Start training!")
+    best_val_rmse = None
+    test_metrics = (float('nan'),) * 4
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        for gb in train_loader.prefetch():
+            state, loss = step_fn(state, to_device(gb))
+        train_m = evaluate(eval_step, state.params, train_loader, to_device)
+        val_m = evaluate(eval_step, state.params, val_loader, to_device)
+        if best_val_rmse is None or val_m[0] < best_val_rmse:
+            test_metrics = evaluate(eval_step, state.params, test_loader, to_device)
+            best_val_rmse = val_m[0]
+        print(f'Epoch: {epoch+1:03d}, Train RMSE: {train_m[0]:.7f}, '
+              f'Train MAE: {train_m[1]:.7f}, Train SD: {train_m[2]:.7f}, '
+              f'Train P: {train_m[3]:.7f}, Test RMSE: {test_metrics[0]:.7f}, '
+              f'Test MAE: {test_metrics[1]:.7f}, Test SD: {test_metrics[2]:.7f}, '
+              f'Test P: {test_metrics[3]:.7f} ({time.time()-t0:.1f}s)')
+
+    print('Testing RMSE:', test_metrics[0])
+    print('Testing MAE:', test_metrics[1])
+    print('Testing SD:', test_metrics[2])
+    print('Testing P:', test_metrics[3])
+
+
+if __name__ == "__main__":
+    main()

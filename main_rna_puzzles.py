@@ -1,0 +1,125 @@
+"""RNA-Puzzles structure-scoring training driver (reference:
+main_rna_puzzles.py:44-111): SmoothL1 on per-structure RMSD score,
+flow='target_to_source', best-val checkpoint to save/pamnet_rna_best.msgpack.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import time
+
+import numpy as np
+
+from pamnet_tpu.utils.runtime import (
+    enable_compilation_cache, resolve_path, set_seed,
+)
+
+REFERENCE_ROOT = os.environ.get("PAMNET_REFERENCE_ROOT", "/root/reference")
+
+
+def smooth_l1(pred, y):
+    a = np.abs(pred - y)
+    return float(np.where(a < 1.0, 0.5 * a * a, a - 0.5).mean())
+
+
+def evaluate(eval_step, params, loader, to_device):
+    preds, ys = [], []
+    for gb in loader.prefetch():
+        pred = np.asarray(eval_step(params, to_device(gb)))
+        mask = np.asarray(gb.graph_mask) > 0
+        preds.append(pred[mask])
+        ys.append(np.asarray(gb.y)[mask])
+    preds, ys = np.concatenate(preds), np.concatenate(ys)
+    return smooth_l1(preds, ys), preds
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--gpu', type=int, default=0, help='Device ordinal (CLI parity).')
+    parser.add_argument('--seed', type=int, default=40, help='Random seed.')
+    parser.add_argument('--dataset', type=str, default='RNA-Puzzles', help='Dataset to be used')
+    parser.add_argument('--epochs', type=int, default=150, help='Number of epochs to train.')
+    parser.add_argument('--lr', type=float, default=5e-4, help='Initial learning rate.')
+    parser.add_argument('--wd', type=float, default=0, help='Weight decay (L2 loss).')
+    parser.add_argument('--n_layer', type=int, default=2, help='Number of hidden layers.')
+    parser.add_argument('--dim', type=int, default=64, help='Size of input hidden units.')
+    parser.add_argument('--batch_size', type=int, default=8, help='batch_size')
+    parser.add_argument('--cutoff_l', type=float, default=2.6, help='cutoff in local layer')
+    parser.add_argument('--cutoff_g', type=float, default=20.0, help='cutoff in global layer')
+    parser.add_argument('--flow', type=str, default='target_to_source',
+                        help='Flow direction of message passing')
+    parser.add_argument('--data_root', type=str, default=None)
+    parser.add_argument('--platform', type=str, default='auto')
+    parser.add_argument('--precision', type=str, default='float32',
+                        choices=['default', 'float32'])
+    args = parser.parse_args()
+
+    set_seed(args.seed)
+    from pamnet_tpu.utils.runtime import set_matmul_precision, set_platform
+    set_platform(args.platform)
+    enable_compilation_cache()
+    set_matmul_precision(args.precision)
+
+    import jax
+    import jax.numpy as jnp
+
+    from pamnet_tpu.config import PAMNetConfig
+    from pamnet_tpu.data.loader import GraphLoader
+    from pamnet_tpu.data.tu import TUDataset
+    from pamnet_tpu.models import count_parameters, init_pamnet
+    from pamnet_tpu.train.checkpoint import save_checkpoint
+    from pamnet_tpu.train.loop import (
+        init_train_state, make_eval_step, make_optimizer, make_train_step,
+    )
+    from pamnet_tpu.train.schedules import constant
+
+    data_root = args.data_root or resolve_path(
+        osp.join('.', 'data', args.dataset),
+        osp.join(REFERENCE_ROOT, 'data', args.dataset),
+    )
+    train_mols = TUDataset(data_root, 'train').molecules()
+    val_mols = TUDataset(data_root, 'val').molecules()
+    print(f"Data loaded! train={len(train_mols)} val={len(val_mols)}")
+
+    cfg = PAMNetConfig(dataset=args.dataset if args.dataset[:3].lower() == 'rna'
+                       else 'rna_train',
+                       dim=args.dim, n_layer=args.n_layer,
+                       cutoff_l=args.cutoff_l, cutoff_g=args.cutoff_g,
+                       flow=args.flow)
+
+    common = dict(dataset_kind='rna', cutoff_l=cfg.cutoff_l, cutoff_g=cfg.cutoff_g)
+    train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
+                               shuffle=True, seed=args.seed, **common)
+    val_loader = GraphLoader(val_mols, batch_size=args.batch_size,
+                             pads=None, **common)
+
+    params = init_pamnet(jax.random.PRNGKey(args.seed), cfg)
+    print("Number of model parameters:", count_parameters(params))
+    optimizer = make_optimizer(constant(args.lr), weight_decay=args.wd)
+    state = init_train_state(params, optimizer, use_ema=False)
+    step_fn = make_train_step(cfg, optimizer, "smooth_l1", ema_decay=None)
+    eval_step = make_eval_step(cfg)
+
+    def to_device(gb):
+        return jax.tree.map(jnp.asarray, gb)
+
+    os.makedirs(osp.join('.', 'save'), exist_ok=True)
+    print("Start training!")
+    best_val_loss = None
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        for gb in train_loader.prefetch():
+            state, loss = step_fn(state, to_device(gb))
+        train_loss, _ = evaluate(eval_step, state.params, train_loader, to_device)
+        val_loss, _ = evaluate(eval_step, state.params, val_loader, to_device)
+        print(f'Epoch: {epoch+1:03d}, Train Loss: {train_loss:.7f}, '
+              f'Val Loss: {val_loss:.7f} ({time.time()-t0:.1f}s)')
+        if best_val_loss is None or val_loss < best_val_loss:
+            best_val_loss = val_loss
+            save_checkpoint(osp.join('.', 'save', 'pamnet_rna_best.msgpack'), state)
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,8 @@ class GraphLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self._rng = np.random.default_rng(seed)
+        if not mols:
+            raise ValueError("GraphLoader needs at least one molecule")
         self.structs = [
             precompute_structure(m, dataset_kind, cutoff_l, cutoff_g, variant)
             for m in mols
