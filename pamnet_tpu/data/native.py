@@ -26,6 +26,22 @@ _lib = None
 _load_attempted = False
 
 
+def _try_build() -> None:
+    """Build the shared library on first use if the toolchain is present."""
+    import shutil
+    import subprocess
+
+    if shutil.which("make") is None:
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.dirname(_LIB_PATH)],
+            capture_output=True, timeout=120, check=False,
+        )
+    except Exception:
+        pass
+
+
 def _load():
     global _lib, _load_attempted
     if _load_attempted:
@@ -33,6 +49,8 @@ def _load():
     _load_attempted = True
     if os.environ.get("PAMNET_DISABLE_NATIVE"):
         return None
+    if not os.path.exists(_LIB_PATH):
+        _try_build()
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -59,28 +77,31 @@ def _load():
 
 
 def available() -> bool:
+    if os.environ.get("PAMNET_DISABLE_NATIVE"):
+        return False
     return _load() is not None
 
 
 def radius_graph(pos, r, batch, max_num_neighbors):
     lib = _load()
     n = pos.shape[0]
-    cap = n * min(n, max_num_neighbors)
-    out = np.empty(2 * cap, dtype=np.int32)
-    m = lib.radius_graph(
-        np.ascontiguousarray(pos, dtype=np.float32),
-        np.ascontiguousarray(batch, dtype=np.int64),
-        n, np.float32(r), max_num_neighbors, out, cap,
-    )
-    if m < 0:
-        raise RuntimeError("native radius_graph capacity overflow")
-    return out[: 2 * m].reshape(2, m).copy()
+    cap = max(n * min(n, max_num_neighbors), 1)
+    while True:
+        out = np.empty(2 * cap, dtype=np.int32)
+        m = lib.radius_graph(
+            np.ascontiguousarray(pos, dtype=np.float32),
+            np.ascontiguousarray(batch, dtype=np.int64),
+            n, np.float32(r), max_num_neighbors, out, cap,
+        )
+        if m >= 0:
+            return np.stack([out[:m], out[cap : cap + m]]).copy()
+        cap *= 4
 
 
 def knn_graph(pos, k, batch):
     lib = _load()
     n = pos.shape[0]
-    cap = n * k
+    cap = max(n * k, 1)
     out = np.empty(2 * cap, dtype=np.int32)
     m = lib.knn_graph(
         np.ascontiguousarray(pos, dtype=np.float32),
@@ -89,7 +110,7 @@ def knn_graph(pos, k, batch):
     )
     if m < 0:
         raise RuntimeError("native knn_graph capacity overflow")
-    return out[: 2 * m].reshape(2, m).copy()
+    return np.stack([out[:m], out[cap : cap + m]]).copy()
 
 
 def _expand(edge_index, num_nodes, anchor_is_src):
