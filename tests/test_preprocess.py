@@ -1,0 +1,168 @@
+"""Preprocessing-pipeline tests on synthesized chemistry files (mol2/PDB) —
+covering the host tools that replace OpenBabel/RDKit."""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from pamnet_tpu.data.featurizer import FEATURE_NAMES, featurize_mol2
+from pamnet_tpu.data.mol2 import parse_mol2
+from pamnet_tpu.data.pdb import parse_pdb_atoms, parse_rms_label
+
+BENZENE_MOL2 = """\
+@<TRIPOS>MOLECULE
+benzene
+12 12 1
+SMALL
+GASTEIGER
+@<TRIPOS>ATOM
+  1 C1  0.000  1.396  0.000 C.ar 1 BNZ -0.062
+  2 C2  1.209  0.698  0.000 C.ar 1 BNZ -0.062
+  3 C3  1.209 -0.698  0.000 C.ar 1 BNZ -0.062
+  4 C4  0.000 -1.396  0.000 C.ar 1 BNZ -0.062
+  5 C5 -1.209 -0.698  0.000 C.ar 1 BNZ -0.062
+  6 C6 -1.209  0.698  0.000 C.ar 1 BNZ -0.062
+  7 H1  0.000  2.480  0.000 H    1 BNZ  0.062
+  8 H2  2.148  1.240  0.000 H    1 BNZ  0.062
+  9 H3  2.148 -1.240  0.000 H    1 BNZ  0.062
+ 10 H4  0.000 -2.480  0.000 H    1 BNZ  0.062
+ 11 H5 -2.148 -1.240  0.000 H    1 BNZ  0.062
+ 12 H6 -2.148  1.240  0.000 H    1 BNZ  0.062
+@<TRIPOS>BOND
+  1  1  2 ar
+  2  2  3 ar
+  3  3  4 ar
+  4  4  5 ar
+  5  5  6 ar
+  6  6  1 ar
+  7  1  7 1
+  8  2  8 1
+  9  3  9 1
+ 10  4 10 1
+ 11  5 11 1
+ 12  6 12 1
+"""
+
+ETHANOLAMINE_MOL2 = """\
+@<TRIPOS>MOLECULE
+etha
+4 3 1
+SMALL
+GASTEIGER
+@<TRIPOS>ATOM
+  1 N1  0.000  0.000  0.000 N.3 1 ETA -0.32
+  2 C1  1.450  0.000  0.000 C.3 1 ETA  0.03
+  3 O1  2.100  1.300  0.000 O.3 1 ETA -0.40
+  4 H1 -0.500 -0.800  0.000 H   1 ETA  0.12
+@<TRIPOS>BOND
+  1 1 2 1
+  2 2 3 1
+  3 1 4 1
+"""
+
+
+def test_parse_mol2_benzene(tmp_path):
+    p = tmp_path / "benzene.mol2"
+    p.write_text(BENZENE_MOL2)
+    mol = parse_mol2(str(p))
+    assert len(mol) == 12
+    assert (mol.atomic_num[:6] == 6).all() and (mol.atomic_num[6:] == 1).all()
+    assert mol.sybyl[0] == "C.ar"
+    assert len(mol.bonds) == 12
+    np.testing.assert_allclose(mol.charge[0], -0.062)
+
+
+def test_featurizer_benzene(tmp_path):
+    p = tmp_path / "benzene.mol2"
+    p.write_text(BENZENE_MOL2)
+    coords, feats = featurize_mol2(parse_mol2(str(p)))
+    assert coords.shape == (6, 3)  # heavy atoms only
+    assert feats.shape == (6, 18)
+    f = dict(zip(FEATURE_NAMES, feats[0]))
+    assert f["C"] == 1.0 and f["N"] == 0.0
+    assert f["hyb"] == 2.0  # aromatic carbon
+    assert f["heavydegree"] == 2.0
+    assert f["heterodegree"] == 0.0
+    assert f["aromatic"] == 1.0 and f["ring"] == 1.0
+    assert f["hydrophobic"] == 1.0  # C with no N/O/F neighbor
+    assert f["donor"] == 0.0 and f["acceptor"] == 0.0
+
+
+def test_featurizer_ethanolamine(tmp_path):
+    p = tmp_path / "etha.mol2"
+    p.write_text(ETHANOLAMINE_MOL2)
+    coords, feats = featurize_mol2(parse_mol2(str(p)))
+    f_n, f_c, f_o = (dict(zip(FEATURE_NAMES, row)) for row in feats)
+    assert f_n["N"] == 1.0 and f_o["O"] == 1.0
+    assert f_n["donor"] == 1.0  # N-H
+    assert f_n["acceptor"] == 1.0 and f_o["acceptor"] == 1.0
+    assert f_o["donor"] == 0.0  # no O-H in this fragment
+    assert f_c["hydrophobic"] == 0.0  # C bonded to N and O
+    assert f_c["heterodegree"] == 2.0
+    assert f_n["ring"] == 0.0
+
+
+PDB_TEXT = """\
+ATOM      1  P     G A   1      10.000  10.000  10.000  1.00  0.00           P
+ATOM      2  C1'   G A   1      11.400  10.000  10.000  1.00  0.00           C
+ATOM      3  N9    G A   1      12.100  11.200  10.000  1.00  0.00           N
+ATOM      4  O2'   G A   1      10.700   8.800  10.000  1.00  0.00           O
+ATOM      5  H1    G A   1      13.000  11.200  10.000  1.00  0.00           H
+TER
+rms   of this structure is 4.321
+END
+"""
+
+
+def test_parse_pdb_and_rms(tmp_path):
+    p = tmp_path / "cand.pdb"
+    p.write_text(PDB_TEXT)
+    elems, coords = parse_pdb_atoms(str(p))
+    assert elems == ["P", "C", "N", "O", "H"]
+    assert coords.shape == (5, 3)
+    assert parse_rms_label(str(p)) == pytest.approx(4.321)
+
+
+def test_preprocess_rna_pipeline(tmp_path, rng):
+    import subprocess
+    import sys
+
+    src = tmp_path / "data" / "RNA-Puzzles" / "classics_train_val"
+    for split in ("example_train", "example_val"):
+        os.makedirs(src / split)
+        for i in range(2):
+            (src / split / f"cand{i}.pdb").write_text(PDB_TEXT)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "preprocess_rna_puzzles.py"),
+         "--data_dir", str(src),
+         "--save_dir", str(tmp_path / "data" / "RNA-Puzzles")],
+        capture_output=True, text=True, timeout=120,
+        env={**os.environ, "PYTHONPATH": repo},
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    from pamnet_tpu.data.tu import TUDataset
+
+    ds = TUDataset(str(tmp_path / "data" / "RNA-Puzzles"), "train")
+    assert len(ds) == 2
+    mol = ds[0]
+    # C/N/O only (P and H dropped), labels mapped to {0,1,2}.
+    assert mol["z"].tolist() == [0, 1, 2]
+    assert mol["y"] == pytest.approx(4.321, abs=1e-3)
+
+
+def test_pdbbind_build_complex(tmp_path):
+    from preprocess_pdbbind import build_complex  # repo root import
+
+    lig = tmp_path / "x_ligand.mol2"
+    lig.write_text(ETHANOLAMINE_MOL2)
+    pock = tmp_path / "x_pocket.mol2"
+    pock.write_text(BENZENE_MOL2)
+    pos, feat = build_complex(str(lig), str(pock), cutoff=6.0)
+    # complex(6+3) + pocket(6) + ligand(3) nodes
+    assert pos.shape == (18, 3) and feat.shape == (18, 18)
+    # Shifted subgraphs sit past x=40 (DeltaE sign mask, models.py:122-125).
+    assert (pos[9:15, 0] > 40).all() and (pos[15:, 0] > 40).all()
+    assert (pos[:9, 0] < 40).all()
