@@ -72,27 +72,34 @@ def main():
         warmup_exponential(1e-4, steps_per_epoch=len(loader)), clip_norm=1000.0
     )
     state = init_train_state(params, optimizer, use_ema=True)
-    step = make_train_step(cfg, optimizer, "l1", ema_decay=0.999)
+
+    # On-device multi-step training (lax.scan over a block of batches): one
+    # dispatch per S steps, measuring true device throughput rather than
+    # per-step host dispatch latency.
+    from pamnet_tpu.train.loop import make_multistep_train_step, stack_microbatches
+
+    stacked = stack_microbatches(batches)  # (S, ...)
+    S = len(batches)
+    run = make_multistep_train_step(cfg, optimizer, "l1", ema_decay=0.999)
 
     # Warmup / compile.
     t0 = time.time()
-    state, loss = step(state, batches[0])
-    jax.block_until_ready(loss)
-    print(f"compile+first step: {time.time()-t0:.1f}s", file=sys.stderr)
-    for i in range(3):
-        state, loss = step(state, batches[i % len(batches)])
-    jax.block_until_ready(loss)
+    state, losses = run(state, stacked)
+    jax.block_until_ready(losses)
+    print(f"compile+first block: {time.time()-t0:.1f}s", file=sys.stderr)
 
+    blocks = max(steps // S, 1)
     t0 = time.time()
-    for i in range(steps):
-        state, loss = step(state, batches[i % len(batches)])
-    jax.block_until_ready(loss)
+    for _ in range(blocks):
+        state, losses = run(state, stacked)
+    jax.block_until_ready(losses)
     elapsed = time.time() - t0
 
-    mol_per_sec = steps * batch_size / elapsed
+    n_steps = blocks * S
+    mol_per_sec = n_steps * batch_size / elapsed
     print(
-        f"{steps} steps in {elapsed:.3f}s -> {mol_per_sec:.1f} mol/s "
-        f"({elapsed/steps*1000:.2f} ms/step), loss={float(loss):.4f}",
+        f"{n_steps} steps in {elapsed:.3f}s -> {mol_per_sec:.1f} mol/s "
+        f"({elapsed/n_steps*1000:.3f} ms/step), loss={float(losses[-1]):.4f}",
         file=sys.stderr,
     )
     print(json.dumps({

@@ -74,16 +74,15 @@ def init_train_state(params, optimizer, use_ema: bool = True) -> TrainState:
     )
 
 
-def make_train_step(cfg: PAMNetConfig, optimizer, loss_kind: str,
-                    ema_decay: float | None = 0.999):
-    """Single-device jitted train step: state, batch -> state, loss."""
+def _make_step_body(cfg: PAMNetConfig, optimizer, loss_kind: str,
+                    ema_decay: float | None):
+    """Shared un-jitted step body: (state, batch) -> (state, loss)."""
 
     def loss_fn(params, batch: GraphBatch):
         pred = apply_pamnet(params, batch, cfg)
         total, count = _loss_terms(pred, batch.y, batch.graph_mask, loss_kind)
         return total / jnp.maximum(count, 1.0)
 
-    @jax.jit
     def step(state: TrainState, batch: GraphBatch):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
@@ -96,6 +95,33 @@ def make_train_step(cfg: PAMNetConfig, optimizer, loss_kind: str,
         return TrainState(params, opt_state, ema, state.step + 1), loss
 
     return step
+
+
+def make_train_step(cfg: PAMNetConfig, optimizer, loss_kind: str,
+                    ema_decay: float | None = 0.999):
+    """Single-device jitted train step: state, batch -> state, loss."""
+    return jax.jit(_make_step_body(cfg, optimizer, loss_kind, ema_decay))
+
+
+def make_multistep_train_step(cfg: PAMNetConfig, optimizer, loss_kind: str,
+                              ema_decay: float | None = 0.999):
+    """On-device multi-step training: ``state, batches -> state, losses``
+    where ``batches`` is a GraphBatch pytree with a leading scan axis S
+    (see ``stack_microbatches``).
+
+    One device dispatch executes S optimizer steps via ``lax.scan`` — this
+    removes per-step host dispatch latency entirely (measured ~6 ms/step over
+    this pool's TPU tunnel vs 0.7 ms/step true device time at the QM9
+    batch-32 recipe) and is the recommended training mode when batches are
+    prebuilt/prefetched.
+    """
+    body = _make_step_body(cfg, optimizer, loss_kind, ema_decay)
+
+    @jax.jit
+    def steps(state: TrainState, batches: GraphBatch):
+        return jax.lax.scan(body, state, batches)
+
+    return steps
 
 
 def make_eval_step(cfg: PAMNetConfig):

@@ -155,6 +155,29 @@ def test_dp_step_matches_single_device(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+def test_multistep_scan_matches_sequential(rng):
+    from pamnet_tpu.train.loop import make_multistep_train_step
+
+    batches = [_batch(rng, n_mols=3) for _ in range(4)]
+    params = init_pamnet(jax.random.PRNGKey(2), CFG)
+    opt = make_optimizer(constant(1e-3), clip_norm=1000.0)
+
+    state_a = init_train_state(params, opt)
+    step = make_train_step(CFG, opt, "l1")
+    seq_losses = []
+    for b in batches:
+        state_a, loss = step(state_a, b)
+        seq_losses.append(float(loss))
+
+    state_b = init_train_state(params, opt)
+    run = make_multistep_train_step(CFG, opt, "l1")
+    state_b, losses = run(state_b, stack_microbatches(batches))
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-5)
+    assert int(state_b.step) == 4
+    for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
 def test_eval_step(rng):
     params = init_pamnet(jax.random.PRNGKey(0), CFG)
     ev = make_eval_step(CFG)
