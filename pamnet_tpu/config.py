@@ -38,6 +38,11 @@ class PAMNetConfig:
     # Model variant: "full" = PAMNet (two-hop + one-hop local triplets),
     # "s" = PAMNet_s (one-hop only; reference: models.py:227-353).
     variant: str = "full"
+    # Use the Pallas MXU kernel for the triplet gather-multiply-segment-sum
+    # (ops/pallas_triplet.py) when sizes fit VMEM; the default XLA
+    # gather+segment_sum path benchmarked equal-or-faster on v5e, so this is
+    # opt-in (both paths are numerically equivalent to ~1e-6).
+    use_pallas_triplet: bool = False
 
     def __post_init__(self):
         if self.flow not in ("source_to_target", "target_to_source"):

@@ -110,10 +110,13 @@ def local_mp(
     el_dst,
     el_mask,
     num_nodes: int,
+    use_pallas: bool = False,
 ):
     """One full local-plex layer with both triplet streams (reference:
     local_message_passing.py:36-66).  ``sbf2``/``sbf1`` arrive already
     projected to ``dim`` by the model-level mlp_sbf2/mlp_sbf1."""
+    from pamnet_tpu.ops.pallas_triplet import fits_pallas, fused_triplet_aggregate
+
     j, i = el_src, el_dst
     num_edges = rbf.shape[0]
 
@@ -127,9 +130,14 @@ def local_mp(
     # Triplet aggregation: gather neighbor-edge messages, modulate by the
     # angular basis, scatter-add back onto the center edge.  This is the hot
     # op (SURVEY.md section 3.2); padded triplets are masked to exact zero.
-    m2 = m_neighbor[t2_kj] * nn.mlp(p["mlp_sbf"], sbf2) * t2_mask[:, None]
-    m1 = m_neighbor[t1_jj] * nn.mlp(p["mlp_sbf"], sbf1) * t1_mask[:, None]
-    m_other = segment_sum(m2, t2_ji, num_edges) + segment_sum(m1, t1_ji, num_edges)
+    b2 = nn.mlp(p["mlp_sbf"], sbf2) * t2_mask[:, None]
+    b1 = nn.mlp(p["mlp_sbf"], sbf1) * t1_mask[:, None]
+    dim = rbf.shape[1]
+    p2 = use_pallas and fits_pallas(num_edges, b2.shape[0], dim)
+    p1 = use_pallas and fits_pallas(num_edges, b1.shape[0], dim)
+    m_other = fused_triplet_aggregate(
+        m_neighbor, b2, t2_kj, t2_ji, num_edges, p2
+    ) + fused_triplet_aggregate(m_neighbor, b1, t1_jj, t1_ji, num_edges, p1)
     m = m_ji + m_other
 
     m = nn.linear(p["lin_rbf_out"], rbf) * m

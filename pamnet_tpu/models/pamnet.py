@@ -149,6 +149,7 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
                 g.t2_kj, g.t2_ji, g.t2_mask,
                 g.t1_jj, g.t1_ji, g.t1_mask,
                 g.el_src, g.el_dst, g.el_mask, num_nodes,
+                use_pallas=cfg.use_pallas_triplet,
             )
         else:
             x, out_l, att_l = L.local_mp_s(
