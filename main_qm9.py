@@ -53,6 +53,9 @@ def main():
     # TPU-native extensions
     parser.add_argument('--dp', type=int, default=0,
                         help='Data-parallel devices (0 = single device)')
+    parser.add_argument('--scan_steps', type=int, default=1,
+                        help='Optimizer steps per device dispatch (lax.scan '
+                             'block; removes per-step host dispatch latency)')
     parser.add_argument('--synthetic', action='store_true',
                         help='Train on synthetic molecules (no QM9 files needed)')
     parser.add_argument('--limit', type=int, default=0,
@@ -137,9 +140,13 @@ def main():
     def to_device(gb):
         return jax.tree.map(jnp.asarray, gb)
 
+    scan_steps = max(args.scan_steps, 1)
     if dp > 1:
         mesh = make_mesh(dp)
         step_fn = make_dp_train_step(cfg, optimizer, "l1", mesh, ema_decay=0.999)
+    elif scan_steps > 1:
+        from pamnet_tpu.train.loop import make_multistep_train_step
+        step_fn = make_multistep_train_step(cfg, optimizer, "l1", ema_decay=0.999)
     else:
         step_fn = make_train_step(cfg, optimizer, "l1", ema_decay=0.999)
 
@@ -160,6 +167,19 @@ def main():
                     state, loss = step_fn(state, stack_microbatches(group))
                     loss_sum += float(loss); nb += 1
                     group = []
+        elif scan_steps > 1:
+            group = []
+            for gb in it:
+                group.append(to_device(gb))
+                if len(group) == scan_steps:
+                    state, losses = step_fn(state, stack_microbatches(group))
+                    loss_sum += float(losses.sum()); nb += len(group)
+                    group = []
+            if group:  # trailing partial block, stepped one by one
+                single = make_train_step(cfg, optimizer, "l1", ema_decay=0.999)
+                for gb in group:
+                    state, loss = single(state, gb)
+                    loss_sum += float(loss); nb += 1
         else:
             for gb in it:
                 state, loss = step_fn(state, to_device(gb))

@@ -43,6 +43,16 @@ class PAMNetConfig:
     # gather+segment_sum path benchmarked equal-or-faster on v5e, so this is
     # opt-in (both paths are numerically equivalent to ~1e-6).
     use_pallas_triplet: bool = False
+    # Activation dtype for the message-passing stack ("float32" or
+    # "bfloat16").  Geometry, bases, and pooling stay f32; params are f32
+    # master weights cast per-use.  bf16 halves HBM traffic (the measured
+    # bottleneck on v5e) at ~1e-3 relative output error.
+    compute_dtype: str = "float32"
+    # Scatter-free aggregation via ELL tables (ops/ell.py): replaces XLA
+    # scatter-adds (the measured per-step bottleneck) with gather + dense
+    # K-sum, for both forward segment-sums and gather backwards.  Used when
+    # the GraphBatch carries tables; exact same math.
+    scatter_free: bool = True
 
     def __post_init__(self):
         if self.flow not in ("source_to_target", "target_to_source"):

@@ -68,6 +68,11 @@ class GraphBatch(NamedTuple):
     # Graph-level.
     y: np.ndarray  # (G,) float32 labels
     graph_mask: np.ndarray  # (G,) float32
+    # Scatter-free aggregation tables (ops/ell.py): ELL (group, K) index
+    # tables + masks grouping edges by endpoint and triplets by edge, so
+    # every aggregation (and every gather's backward) is a gather + dense
+    # K-sum instead of an XLA scatter.  None when built without tables.
+    tables: dict | None = None
 
     @property
     def num_nodes(self) -> int:
@@ -80,7 +85,12 @@ class GraphBatch(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class PadSizes:
-    """Static padded sizes for one compilation bucket."""
+    """Static padded sizes for one compilation bucket.
+
+    The ``k*`` fields are ELL aggregation-table widths (max rows per group,
+    rounded up); 0 means "derive from the batch" (bucketed to a multiple of
+    8 — note per-batch derivation can produce varying compiled shapes; the
+    GraphLoader pins dataset-wide maxima)."""
 
     n: int
     eg: int
@@ -88,6 +98,14 @@ class PadSizes:
     t2: int
     t1: int
     g: int
+    kg_dst: int = 0  # eg grouped by dst (in-degree)
+    kg_src: int = 0  # eg grouped by src (out-degree)
+    kl_dst: int = 0
+    kl_src: int = 0
+    k2_ji: int = 0  # two-hop triplets per center edge
+    k2_kj: int = 0  # two-hop triplets per neighbor edge
+    k1_ji: int = 0
+    k1_jj: int = 0
 
     @staticmethod
     def round_up(x: int, align: int = 128) -> int:
@@ -219,6 +237,22 @@ def structure_counts(s: dict) -> tuple[int, int, int, int, int]:
     )
 
 
+def structure_group_maxima(s: dict) -> tuple[int, ...]:
+    """Max aggregation-group sizes (ELL table widths) for one molecule, in
+    PadSizes order: kg_dst, kg_src, kl_dst, kl_src, k2_ji, k2_kj, k1_ji, k1_jj."""
+
+    def mx(ids):
+        ids = np.asarray(ids)
+        return int(np.bincount(ids).max()) if ids.size else 0
+
+    return (
+        mx(s["eg"][1]), mx(s["eg"][0]),
+        mx(s["el"][1]), mx(s["el"][0]),
+        mx(s["t2"]["idx_ji"]), mx(s["t2"]["idx_kj"]),
+        mx(s["t1"]["idx_ji"]), mx(s["t1"]["idx_jj"]),
+    )
+
+
 def collate_structures(structs: list[dict], pads: PadSizes | None = None,
                        align: int = 128) -> GraphBatch:
     """Assemble precomputed per-molecule structures into one padded batch by
@@ -265,8 +299,41 @@ def collate_structures(structs: list[dict], pads: PadSizes | None = None,
             len(structs), align=align,
         )
 
+    # ---- scatter-free ELL aggregation tables (ops/ell.py) ----
+    from pamnet_tpu.ops.ell import build_ell_table_np
+
+    def k_auto(ids, n_valid, groups, fixed):
+        if fixed:
+            return fixed
+        counts = np.bincount(ids[:n_valid], minlength=1) if n_valid else np.array([0])
+        return max(8, int(np.ceil(counts.max(initial=1) / 8)) * 8)
+
+    def table(ids_padded, n_valid, groups, fixed):
+        k = k_auto(ids_padded, n_valid, groups, fixed)
+        return build_ell_table_np(ids_padded, n_valid, groups, k)
+
+    n_eg, n_el = eg.shape[1], el.shape[1]
+    n_t2, n_t1 = t2["idx_ji"].shape[0], t1["idx_ji"].shape[0]
+    eg_dst_p, eg_src_p = _pad1(eg[1], pads.eg), _pad1(eg[0], pads.eg)
+    el_dst_p, el_src_p = _pad1(el[1], pads.el), _pad1(el[0], pads.el)
+    tables = {}
+    for name, ids, n_valid, groups, fixed in (
+        ("eg_dst", eg_dst_p, n_eg, pads.n, pads.kg_dst),
+        ("eg_src", eg_src_p, n_eg, pads.n, pads.kg_src),
+        ("el_dst", el_dst_p, n_el, pads.n, pads.kl_dst),
+        ("el_src", el_src_p, n_el, pads.n, pads.kl_src),
+        ("t2_ji", _pad1(t2["idx_ji"], pads.t2), n_t2, pads.el, pads.k2_ji),
+        ("t2_kj", _pad1(t2["idx_kj"], pads.t2), n_t2, pads.el, pads.k2_kj),
+        ("t1_ji", _pad1(t1["idx_ji"], pads.t1), n_t1, pads.el, pads.k1_ji),
+        ("t1_jj", _pad1(t1["idx_jj"], pads.t1), n_t1, pads.el, pads.k1_jj),
+    ):
+        tbl, tmask = table(ids, n_valid, groups, fixed)
+        tables[name] = tbl
+        tables[name + "_mask"] = tmask
+
     nb = len(structs)
     return GraphBatch(
+        tables=tables,
         z=_pad1(z, pads.n),
         feat=_pad1(feat, pads.n),
         pos=_pad1(pos, pads.n),

@@ -20,6 +20,7 @@ from pamnet_tpu.data.batch import (
     collate_structures,
     precompute_structure,
     structure_counts,
+    structure_group_maxima,
 )
 
 
@@ -64,15 +65,27 @@ class GraphLoader:
         self.pads = pads
 
     def _worst_case_pads(self, align: int) -> PadSizes:
-        """Upper bound: sum of the batch_size largest counts per dimension.
-        One compiled shape for the whole dataset."""
+        """Upper bound: sum of the batch_size largest counts per dimension,
+        plus dataset-max ELL table widths.  One compiled shape for the whole
+        dataset."""
         counts = np.array([structure_counts(s) for s in self.structs])
         b = min(self.batch_size, len(self.structs))
         tops = np.sort(counts, axis=0)[-b:]  # (b, 5) largest per column
         n, eg, el, t2, t1 = tops.sum(axis=0)
-        return PadSizes.for_counts(
+        ks = np.array([structure_group_maxima(s) for s in self.structs]).max(0)
+        ks = np.maximum(np.ceil(ks / 8).astype(int) * 8, 8)
+        base = PadSizes.for_counts(
             n, max(eg, 1), max(el, 1), max(t2, 1), max(t1, 1),
             self.batch_size, align=align,
+        )
+        import dataclasses
+
+        return dataclasses.replace(
+            base,
+            kg_dst=int(ks[0]), kg_src=int(ks[1]),
+            kl_dst=int(ks[2]), kl_src=int(ks[3]),
+            k2_ji=int(ks[4]), k2_kj=int(ks[5]),
+            k1_ji=int(ks[6]), k1_jj=int(ks[7]),
         )
 
     def __len__(self) -> int:

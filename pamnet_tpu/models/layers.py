@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from pamnet_tpu import nn
+from pamnet_tpu.ops.ell import gather_ell, segment_sum_ell
 from pamnet_tpu.ops.segment import segment_sum
 
 
@@ -40,24 +41,54 @@ def init_global_mp(key, dim: int):
     }
 
 
-def global_mp(p, x, edge_attr, src, dst, e_mask, flow: str, num_nodes: int):
+def _t(tables, name):
+    return tables[name], tables[name + "_mask"]
+
+
+def global_mp(p, x, edge_attr, src, dst, e_mask, flow: str, num_nodes: int,
+              tables: dict | None = None):
     """One global-plex layer (reference: global_message_passing.py:33-56).
 
     ``flow`` chooses which endpoint receives messages: ``source_to_target``
     aggregates at ``dst`` (x_i = x[dst]); ``target_to_source`` at ``src``.
+
+    Two TPU-native rewrites of the reference math (both exact):
+    * project-then-gather: the message MLP's first matmul over
+      concat(x_i, x_j, e) is split row-wise so the x-projections run over
+      N nodes instead of E >> N edges;
+    * scatter-free aggregation: with ELL ``tables`` present, the forward
+      segment-sum AND the gathers' backwards are gather + dense K-sum
+      (ops/ell.py) instead of XLA scatters.
     """
     res_x = x
     x = nn.mlp(p["mlp_x1"], x)
 
     if flow == "source_to_target":
-        x_i, x_j, agg_idx = x[dst], x[src], dst
+        i_idx, j_idx = dst, src
+        ti, tj = ("eg_dst", "eg_src")
     else:
-        x_i, x_j, agg_idx = x[src], x[dst], src
+        i_idx, j_idx = src, dst
+        ti, tj = ("eg_src", "eg_dst")
+    agg_idx, t_agg = i_idx, ti
 
-    m = nn.mlp(p["mlp_m"], jnp.concatenate([x_i, x_j, edge_attr], axis=-1))
+    dim = x.shape[1]
+    w = p["mlp_m"][0]["w"].astype(x.dtype)  # (3*dim, dim) = [x_i | x_j | e]
+    b = p["mlp_m"][0]["b"].astype(x.dtype)
+    xi_proj = x @ w[:dim]
+    xj_proj = x @ w[dim : 2 * dim]
+    if tables is not None:
+        x_i = gather_ell(xi_proj, i_idx, *_t(tables, ti))
+        x_j = gather_ell(xj_proj, j_idx, *_t(tables, tj))
+    else:
+        x_i, x_j = xi_proj[i_idx], xj_proj[j_idx]
+    m = nn.silu(x_i + x_j + edge_attr @ w[2 * dim :] + b)
     m = m * nn.linear(p["W_edge_attr"], edge_attr)
     m = m * e_mask[:, None]
-    x = x + segment_sum(m, agg_idx, num_nodes)
+    if tables is not None:
+        agg = segment_sum_ell(m, agg_idx, e_mask, *_t(tables, t_agg))
+    else:
+        agg = segment_sum(m, agg_idx, num_nodes)
+    x = x + agg
     x = nn.mlp(p["mlp_x2"], x)
 
     x = nn.res(p["res1"], x) + res_x
@@ -65,8 +96,23 @@ def global_mp(p, x, edge_attr, src, dst, e_mask, flow: str, num_nodes: int):
     x = nn.res(p["res3"], x)
 
     out = nn.mlp(p["mlp_out"], x)
-    att = out @ p["W"]  # (N, 1)
+    att = out @ p["W"].astype(out.dtype)  # (N, 1)
     return x, nn.linear(p["W_out"], out), att
+
+
+def _edge_message(mlp_p, x, rbf, i, j, tables):
+    """silu(W @ concat(x_i, x_j, rbf) + b) with the x-projections hoisted to
+    node level (project-then-gather; identical math, E->N matmul rows)."""
+    dim = x.shape[1]
+    w = mlp_p[0]["w"].astype(x.dtype)  # (3*dim, dim)
+    b = mlp_p[0]["b"].astype(x.dtype)
+    xi, xj = x @ w[:dim], x @ w[dim : 2 * dim]
+    if tables is not None:
+        x_i = gather_ell(xi, i, *_t(tables, "el_dst"))
+        x_j = gather_ell(xj, j, *_t(tables, "el_src"))
+    else:
+        x_i, x_j = xi[i], xj[j]
+    return nn.silu(x_i + x_j + rbf @ w[2 * dim :] + b)
 
 
 def init_local_mp(key, dim: int, variant: str = "full"):
@@ -111,6 +157,7 @@ def local_mp(
     el_mask,
     num_nodes: int,
     use_pallas: bool = False,
+    tables: dict | None = None,
 ):
     """One full local-plex layer with both triplet streams (reference:
     local_message_passing.py:36-66).  ``sbf2``/``sbf1`` arrive already
@@ -123,26 +170,37 @@ def local_mp(
     res_x = x
     x = nn.mlp(p["mlp_x1"], x)
 
-    m = jnp.concatenate([x[i], x[j], rbf], axis=-1)
-    m_ji = nn.mlp(p["mlp_m_ji"], m)
-    m_neighbor = nn.mlp(p["mlp_m_kj"], m) * nn.linear(p["lin_rbf"], rbf)
+    m_ji = _edge_message(p["mlp_m_ji"], x, rbf, i, j, tables)
+    m_neighbor = _edge_message(p["mlp_m_kj"], x, rbf, i, j, tables) * nn.linear(
+        p["lin_rbf"], rbf
+    )
 
     # Triplet aggregation: gather neighbor-edge messages, modulate by the
     # angular basis, scatter-add back onto the center edge.  This is the hot
     # op (SURVEY.md section 3.2); padded triplets are masked to exact zero.
     b2 = nn.mlp(p["mlp_sbf"], sbf2) * t2_mask[:, None]
     b1 = nn.mlp(p["mlp_sbf"], sbf1) * t1_mask[:, None]
-    dim = rbf.shape[1]
-    p2 = use_pallas and fits_pallas(num_edges, b2.shape[0], dim)
-    p1 = use_pallas and fits_pallas(num_edges, b1.shape[0], dim)
-    m_other = fused_triplet_aggregate(
-        m_neighbor, b2, t2_kj, t2_ji, num_edges, p2
-    ) + fused_triplet_aggregate(m_neighbor, b1, t1_jj, t1_ji, num_edges, p1)
+    if tables is not None:
+        m2 = gather_ell(m_neighbor, t2_kj, *_t(tables, "t2_kj")) * b2
+        m1 = gather_ell(m_neighbor, t1_jj, *_t(tables, "t1_jj")) * b1
+        m_other = segment_sum_ell(
+            m2, t2_ji, t2_mask, *_t(tables, "t2_ji")
+        ) + segment_sum_ell(m1, t1_ji, t1_mask, *_t(tables, "t1_ji"))
+    else:
+        dim = rbf.shape[1]
+        p2 = use_pallas and fits_pallas(num_edges, b2.shape[0], dim)
+        p1 = use_pallas and fits_pallas(num_edges, b1.shape[0], dim)
+        m_other = fused_triplet_aggregate(
+            m_neighbor, b2, t2_kj, t2_ji, num_edges, p2
+        ) + fused_triplet_aggregate(m_neighbor, b1, t1_jj, t1_ji, num_edges, p1)
     m = m_ji + m_other
 
     m = nn.linear(p["lin_rbf_out"], rbf) * m
     m = m * el_mask[:, None]
-    x = x + segment_sum(m, i, num_nodes)
+    if tables is not None:
+        x = x + segment_sum_ell(m, i, el_mask, *_t(tables, "el_dst"))
+    else:
+        x = x + segment_sum(m, i, num_nodes)
     x = nn.mlp(p["mlp_x2"], x)
 
     x = nn.res(p["res1"], x) + res_x
@@ -150,12 +208,13 @@ def local_mp(
     x = nn.res(p["res3"], x)
 
     out = nn.mlp(p["mlp_out"], x)
-    att = out @ p["W"]
+    att = out @ p["W"].astype(out.dtype)
     return x, nn.linear(p["W_out"], out), att
 
 
 def local_mp_s(
-    p, x, rbf, sbf, t1_jj, t1_ji, t1_mask, el_src, el_dst, el_mask, num_nodes: int
+    p, x, rbf, sbf, t1_jj, t1_ji, t1_mask, el_src, el_dst, el_mask,
+    num_nodes: int, tables: dict | None = None,
 ):
     """Efficient one-hop-only local layer (reference:
     local_message_passing.py:96-123, used by PAMNet_s)."""
@@ -165,15 +224,24 @@ def local_mp_s(
     res_x = x
     x = nn.mlp(p["mlp_x1"], x)
 
-    m = jnp.concatenate([x[i], x[j], rbf], axis=-1)
-    m_ji = nn.mlp(p["mlp_m_ji"], m)
-    m_neighbor = nn.mlp(p["mlp_m_jj"], m) * nn.linear(p["lin_rbf"], rbf)
-    m1 = m_neighbor[t1_jj] * nn.mlp(p["mlp_sbf"], sbf) * t1_mask[:, None]
-    m = m_ji + segment_sum(m1, t1_ji, num_edges)
+    m_ji = _edge_message(p["mlp_m_ji"], x, rbf, i, j, tables)
+    m_neighbor = _edge_message(p["mlp_m_jj"], x, rbf, i, j, tables) * nn.linear(
+        p["lin_rbf"], rbf
+    )
+    b1 = nn.mlp(p["mlp_sbf"], sbf) * t1_mask[:, None]
+    if tables is not None:
+        m1 = gather_ell(m_neighbor, t1_jj, *_t(tables, "t1_jj")) * b1
+        m = m_ji + segment_sum_ell(m1, t1_ji, t1_mask, *_t(tables, "t1_ji"))
+    else:
+        m1 = m_neighbor[t1_jj] * b1
+        m = m_ji + segment_sum(m1, t1_ji, num_edges)
 
     m = nn.linear(p["lin_rbf_out"], rbf) * m
     m = m * el_mask[:, None]
-    x = x + segment_sum(m, i, num_nodes)
+    if tables is not None:
+        x = x + segment_sum_ell(m, i, el_mask, *_t(tables, "el_dst"))
+    else:
+        x = x + segment_sum(m, i, num_nodes)
     x = nn.mlp(p["mlp_x2"], x)
 
     x = nn.res(p["res1"], x) + res_x
@@ -181,5 +249,5 @@ def local_mp_s(
     x = nn.res(p["res3"], x)
 
     out = nn.mlp(p["mlp_out"], x)
-    att = out @ p["W"]
+    att = out @ p["W"].astype(out.dtype)
     return x, nn.linear(p["W_out"], out), att

@@ -132,12 +132,30 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
         sbf = spherical_basis(dist_l, angle1, g.t1_jj, *sbf_args)
         edge_attr_sbf = nn.mlp(params["mlp_sbf"], sbf)
 
+    # ---- mixed-precision boundary: geometry/bases above stay f32; the
+    # message-passing stack below runs in cfg.compute_dtype ----
+    cdt = jnp.dtype(cfg.compute_dtype)
+    x = x.astype(cdt)
+    edge_attr_rbf_g = edge_attr_rbf_g.astype(cdt)
+    edge_attr_rbf_l = edge_attr_rbf_l.astype(cdt)
+    eg_mask = g.eg_mask.astype(cdt)
+    el_mask = g.el_mask.astype(cdt)
+    t2_mask = g.t2_mask.astype(cdt)
+    t1_mask = g.t1_mask.astype(cdt)
+    if use_two_hop:
+        edge_attr_sbf2 = edge_attr_sbf2.astype(cdt)
+        edge_attr_sbf1 = edge_attr_sbf1.astype(cdt)
+    else:
+        edge_attr_sbf = edge_attr_sbf.astype(cdt)
+
     # ---- plex loop (reference: models.py:196-204) ----
     outs_g, atts_g, outs_l, atts_l = [], [], [], []
+    tables = g.tables if (cfg.scatter_free and g.tables is not None) else None
     for layer in range(cfg.n_layer):
         x, out_g, att_g = L.global_mp(
             params["global_layers"][layer],
-            x, edge_attr_rbf_g, g.eg_src, g.eg_dst, g.eg_mask, cfg.flow, num_nodes,
+            x, edge_attr_rbf_g, g.eg_src, g.eg_dst, eg_mask, cfg.flow, num_nodes,
+            tables=tables,
         )
         outs_g.append(out_g)
         atts_g.append(att_g)
@@ -146,17 +164,19 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
             x, out_l, att_l = L.local_mp(
                 params["local_layers"][layer],
                 x, edge_attr_rbf_l, edge_attr_sbf2, edge_attr_sbf1,
-                g.t2_kj, g.t2_ji, g.t2_mask,
-                g.t1_jj, g.t1_ji, g.t1_mask,
-                g.el_src, g.el_dst, g.el_mask, num_nodes,
+                g.t2_kj, g.t2_ji, t2_mask,
+                g.t1_jj, g.t1_ji, t1_mask,
+                g.el_src, g.el_dst, el_mask, num_nodes,
                 use_pallas=cfg.use_pallas_triplet,
+                tables=tables,
             )
         else:
             x, out_l, att_l = L.local_mp_s(
                 params["local_layers"][layer],
                 x, edge_attr_rbf_l, edge_attr_sbf,
-                g.t1_jj, g.t1_ji, g.t1_mask,
-                g.el_src, g.el_dst, g.el_mask, num_nodes,
+                g.t1_jj, g.t1_ji, t1_mask,
+                g.el_src, g.el_dst, el_mask, num_nodes,
+                tables=tables,
             )
         outs_l.append(out_l)
         atts_l.append(att_l)
@@ -170,7 +190,7 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
     out = jnp.stack(
         [jnp.stack(outs_g, 0)[..., 0], jnp.stack(outs_l, 0)[..., 0]], axis=-1
     )  # (L, N, 2)
-    node_out = (out * att).sum(-1).sum(0)  # (N,)
+    node_out = (out * att).sum(-1).sum(0).astype(jnp.float32)  # (N,)
 
     # ---- pooling (reference: models.py:215-224) ----
     node_out = node_out * g.node_mask

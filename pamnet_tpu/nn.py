@@ -37,9 +37,11 @@ def linear_init(key, d_in: int, d_out: int, bias: bool = True, dtype=jnp.float32
 
 
 def linear(p, x):
-    y = x @ p["w"]
+    # Follow the activation dtype (mixed precision: f32 master weights,
+    # bf16 compute when the caller casts activations down).
+    y = x @ p["w"].astype(x.dtype)
     if "b" in p:
-        y = y + p["b"]
+        y = y + p["b"].astype(x.dtype)
     return y
 
 

@@ -1,0 +1,105 @@
+"""Scatter-free segment aggregation via ELL (padded-neighbor-list) tables.
+
+Profiling the train step on v5e showed XLA's scatter-add dominating: every
+forward ``segment_sum`` and the *backward* of every edge gather lowers to a
+serialized scatter (~0.2-0.4 ms each; ~24 per step at QM9 scale).  Because
+graph structure is static, the host can precompute, for every aggregation,
+an ELL table ``table[group, k] -> row id`` (padded, masked).  Aggregation
+then becomes gather + masked dense sum over the K axis — no scatters — and
+with the custom VJPs below the backward passes are plain gathers as well:
+
+  segment_sum_ell:  out[v] = sum_k values[table[v, k]] * tmask[v, k]
+                    d_values[e] = g[seg_ids[e]] * row_mask[e]
+  gather_ell:       out[e] = x[idx[e]]
+                    d_x[v] = sum_k g[table[v, k]] * tmask[v, k]
+
+Contract: rows with ``row_mask == 0`` (padding) must not contribute to the
+loss through the gathered values (all model paths mask them), and the table
+must list exactly the valid rows of each group.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _ell_reduce(values: jax.Array, table: jax.Array, tmask: jax.Array) -> jax.Array:
+    gathered = values[table]  # (G, K, D)
+    return jnp.sum(gathered * tmask[..., None].astype(values.dtype), axis=1)
+
+
+@jax.custom_vjp
+def segment_sum_ell(values, seg_ids, row_mask, table, tmask):
+    """Segment sum of ``values`` (R, D) into groups via the ELL ``table``
+    (G, K); equals ``segment_sum(values * row_mask, seg_ids, G)``."""
+    return _ell_reduce(values, table, tmask)
+
+
+def _seg_fwd(values, seg_ids, row_mask, table, tmask):
+    return segment_sum_ell(values, seg_ids, row_mask, table, tmask), (
+        seg_ids,
+        row_mask,
+    )
+
+
+def _seg_bwd(res, g):
+    seg_ids, row_mask = res
+    d_values = g[seg_ids] * row_mask[:, None].astype(g.dtype)
+    return d_values, None, None, None, None
+
+
+segment_sum_ell.defvjp(_seg_fwd, _seg_bwd)
+
+
+@jax.custom_vjp
+def gather_ell(x, idx, table, tmask):
+    """Row gather ``x[idx]`` whose backward aggregates with the ELL table of
+    ``idx`` (i.e. table groups rows by their idx value) instead of a
+    scatter-add."""
+    return x[idx]
+
+
+def _gather_fwd(x, idx, table, tmask):
+    return x[idx], (idx, table, tmask)
+
+
+def _gather_bwd(res, g):
+    idx, table, tmask = res
+    return _ell_reduce(g, table, tmask), None, None, None
+
+
+gather_ell.defvjp(_gather_fwd, _gather_bwd)
+
+
+def build_ell_table_np(ids, num_valid: int, num_groups: int, k: int):
+    """Host-side ELL construction: group row indices by ``ids`` value.
+
+    Args:
+      ids: (R,) int group id per row (rows >= num_valid are padding).
+      num_valid: count of real rows.
+      num_groups: G.
+      k: fixed table width (must be >= max group size; raises otherwise).
+    Returns: (table (G, k) int32, tmask (G, k) float32).
+    """
+    import numpy as np
+
+    ids = np.asarray(ids[:num_valid], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    sorted_ids = ids[order]
+    counts = np.bincount(sorted_ids, minlength=num_groups)
+    if counts.size > num_groups:
+        raise ValueError("group id out of range")
+    if counts.max(initial=0) > k:
+        raise ValueError(
+            f"ELL overflow: max group size {counts.max()} > table width {k}"
+        )
+    table = np.zeros((num_groups, k), dtype=np.int32)
+    tmask = np.zeros((num_groups, k), dtype=np.float32)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = np.arange(num_valid) - offsets[sorted_ids]
+    table[sorted_ids, within] = order.astype(np.int32)
+    tmask[sorted_ids, within] = 1.0
+    return table, tmask

@@ -146,6 +146,16 @@ def test_pamnet_s_variant(rng):
     assert "mlp_m_jj" in params["local_layers"][0]
 
 
+def test_bfloat16_compute_close_to_f32(rng):
+    import dataclasses
+
+    mols = _mols_qm9(rng)
+    out32, _ = _forward(CFG_QM9, mols)
+    cfg16 = dataclasses.replace(CFG_QM9, compute_dtype="bfloat16")
+    out16, _ = _forward(cfg16, mols)
+    np.testing.assert_allclose(out16, out32, rtol=5e-2, atol=5e-2)
+
+
 def test_gradients_finite(rng):
     mols = _mols_qm9(rng, n_mols=2)
     cfg = CFG_QM9
