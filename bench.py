@@ -54,8 +54,10 @@ def bench_rna():
     mols = TUDataset(data_root, "rna_native").molecules()
     batch_size = 16
     t0 = time.time()
+    # No ELL tables for inference on wide-degree knn graphs (DEVNOTES.md):
+    # scatter-free pays in training backwards, not here.
     loader = GraphLoader(mols, "rna", cfg.cutoff_l, cfg.cutoff_g,
-                         batch_size=batch_size)
+                         batch_size=batch_size, build_tables=False)
     print(f"host structure build: {time.time()-t0:.1f}s, pads={loader.pads}",
           file=sys.stderr)
     batches = [jax.tree.map(jnp.asarray, gb) for gb in loader]

@@ -92,6 +92,7 @@ def main():
     loader = GraphLoader(
         ds.molecules(), cfg.dataset_kind, cfg.cutoff_l, cfg.cutoff_g,
         batch_size=args.batch_size, shuffle=False,
+        build_tables=False,  # inference: scatter-free tables don't pay here
     )
     fwd = jax.jit(lambda p, g: apply_pamnet(p, g, cfg))
 

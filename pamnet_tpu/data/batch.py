@@ -254,7 +254,7 @@ def structure_group_maxima(s: dict) -> tuple[int, ...]:
 
 
 def collate_structures(structs: list[dict], pads: PadSizes | None = None,
-                       align: int = 128) -> GraphBatch:
+                       align: int = 128, build_tables: bool = True) -> GraphBatch:
     """Assemble precomputed per-molecule structures into one padded batch by
     offsetting node ids (by node counts) and edge ids (by local-edge counts)."""
     n_per = [s["pos"].shape[0] for s in structs]
@@ -300,6 +300,12 @@ def collate_structures(structs: list[dict], pads: PadSizes | None = None,
         )
 
     # ---- scatter-free ELL aggregation tables (ops/ell.py) ----
+    # Pays off for training (it removes the scatter-adds in gather
+    # *backwards*); for inference on wide-degree graphs (RNA knn) the
+    # gather blow-up costs more than the forward scatters it saves.
+    if not build_tables:
+        return _assemble(structs, pads, z, feat, pos, node_graph, eg, el, t2, t1, y, None)
+
     from pamnet_tpu.ops.ell import build_ell_table_np
 
     def k_auto(ids, n_valid, groups, fixed):
@@ -331,6 +337,11 @@ def collate_structures(structs: list[dict], pads: PadSizes | None = None,
         tables[name] = tbl
         tables[name + "_mask"] = tmask
 
+    return _assemble(structs, pads, z, feat, pos, node_graph, eg, el, t2, t1, y, tables)
+
+
+def _assemble(structs, pads, z, feat, pos, node_graph, eg, el, t2, t1, y, tables):
+    num_nodes = pos.shape[0]
     nb = len(structs)
     return GraphBatch(
         tables=tables,

@@ -48,11 +48,13 @@ class GraphLoader:
         pads: PadSizes | None = None,
         drop_last: bool = False,
         align: int = 128,
+        build_tables: bool = True,
     ):
         self.dataset_kind = dataset_kind
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.build_tables = build_tables
         self._rng = np.random.default_rng(seed)
         if not mols:
             raise ValueError("GraphLoader needs at least one molecule")
@@ -109,7 +111,10 @@ class GraphLoader:
 
     def __iter__(self):
         for idxs in self.batches():
-            yield collate_structures([self.structs[i] for i in idxs], self.pads)
+            yield collate_structures(
+                [self.structs[i] for i in idxs], self.pads,
+                build_tables=self.build_tables,
+            )
 
     def prefetch(self, depth: int = 2):
         """Iterate with a background collation thread (overlaps host batch
