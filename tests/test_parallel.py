@@ -11,7 +11,9 @@ from pamnet_tpu.models import apply_pamnet, init_pamnet
 from pamnet_tpu.parallel import make_dp_eval_step, make_mesh, shard_batch
 
 CFG = PAMNetConfig(dataset="QM9", dim=16, n_layer=1)
-PADS = PadSizes(n=128, eg=1024, el=128, t2=512, t1=512, g=8)
+PADS = PadSizes(n=128, eg=1024, el=128, t2=512, t1=512, g=8,
+                kg_dst=32, kg_src=32, kl_dst=8, kl_src=8,
+                k2_ji=16, k2_kj=16, k1_ji=16, k1_jj=16)
 
 
 def _batch(rng, n_mols=3):

@@ -46,7 +46,9 @@ def _mols(rng, n_mols, seed_y=True):
     return mols
 
 
-PADS = PadSizes(n=128, eg=1024, el=128, t2=512, t1=512, g=8)
+PADS = PadSizes(n=128, eg=1024, el=128, t2=512, t1=512, g=8,
+                kg_dst=32, kg_src=32, kl_dst=8, kl_src=8,
+                k2_ji=16, k2_kj=16, k1_ji=16, k1_jj=16)
 
 
 def _batch(rng, n_mols=4):
