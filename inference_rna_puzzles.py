@@ -50,11 +50,14 @@ def main():
                         choices=['default', 'float32'],
                         help='MXU matmul precision; float32 reproduces the '
                              'reference f32 scores, default (bf16) is faster')
+    parser.add_argument('--platform', type=str, default='auto',
+                        help='jax platform (auto|cpu|axon|tpu)')
     args = parser.parse_args()
 
     set_seed(args.seed)
+    from pamnet_tpu.utils.runtime import set_matmul_precision, set_platform
+    set_platform(args.platform)
     enable_compilation_cache()
-    from pamnet_tpu.utils.runtime import set_matmul_precision
     set_matmul_precision(args.precision)
 
     import jax

@@ -88,6 +88,31 @@ def test_main_qm9_smoke(tmp_path):
     assert "Best Validation MAE" in r.stdout
 
 
+def test_inference_driver_csv_contract(tmp_path, rng):
+    """inference_rna_puzzles.py end-to-end on a tiny generated dataset with
+    the real reference checkpoint (dim=16, n_layer=1), checking the CSV
+    contract PAMNet,tag,puzzle_number (reference inference_rna_puzzles.py:70-80)."""
+    import csv
+
+    if not os.path.isdir("/root/reference/save"):
+        pytest.skip("reference checkpoint not mounted")
+    root = str(tmp_path / "data" / "RNA-Puzzles")
+    write_tu_dataset(root, "rna_toy", _rna_graphs(rng, 4, with_names=True))
+    r = _run(
+        [os.path.join(REPO, "inference_rna_puzzles.py"), "--platform", "cpu",
+         "--dataset", "rna_toy", "--batch_size", "2",
+         "--saved_model", "pamnet_rna.pt", "--data_root", root],
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(tmp_path / "rna_puzzles_predictions" / "rna_toy.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 4
+    assert set(rows[0].keys()) == {"PAMNet", "tag", "puzzle_number"}
+    assert rows[0]["tag"] == "candidate_0"  # ".pdb" stripped
+    assert all(np.isfinite(float(row["PAMNet"])) for row in rows)
+
+
 def test_tu_writer_roundtrip(tmp_path, rng):
     from pamnet_tpu.data.tu import TUDataset
 

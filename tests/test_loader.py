@@ -1,0 +1,61 @@
+"""GraphLoader behavior: fixed worst-case pads, shuffle determinism,
+prefetch equivalence, partial-batch handling."""
+
+import numpy as np
+
+from pamnet_tpu.data.loader import GraphLoader
+
+
+def _mols(rng, n):
+    out = []
+    for _ in range(n):
+        k = int(rng.integers(5, 14))
+        pos = (rng.random((k, 3)) * 3.0).astype(np.float32)
+        src = np.concatenate([np.arange(k - 1), np.arange(1, k)])
+        dst = np.concatenate([np.arange(1, k), np.arange(k - 1)])
+        out.append(
+            dict(z=rng.integers(0, 5, k).astype(np.int32), pos=pos,
+                 edge_index=np.stack([src, dst]), y=float(k))
+        )
+    return out
+
+
+def test_single_compiled_shape_and_no_overflow(rng):
+    loader = GraphLoader(_mols(rng, 23), "qm9", 5.0, 5.0, batch_size=8)
+    shapes = set()
+    n_graphs = 0
+    for gb in loader:  # includes the trailing partial batch
+        shapes.add(tuple(x.shape for x in [gb.z, gb.eg_src, gb.el_src, gb.t2_kj, gb.t1_jj]))
+        shapes.add(tuple(v.shape for k, v in sorted(gb.tables.items())))
+        n_graphs += int(gb.graph_mask.sum())
+    assert len(shapes) == 2  # one batch-field shape set + one table shape set
+    assert n_graphs == 23
+
+
+def test_shuffle_determinism_and_coverage(rng):
+    mols = _mols(rng, 16)
+    a = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=4, shuffle=True, seed=7)
+    b = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=4, shuffle=True, seed=7)
+    assert a.batches() == b.batches()
+    flat = [i for chunk in a.batches() for i in chunk]
+    assert sorted(flat) == list(range(16))
+    # Different epoch -> different order (advancing RNG).
+    assert a.batches() != b.batches() or True  # second call advances a's RNG
+    assert a.batches() != b.batches()
+
+
+def test_prefetch_equivalent_to_iter(rng):
+    mols = _mols(rng, 10)
+    l1 = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=4)
+    l2 = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=4)
+    for gb_a, gb_b in zip(l1, l2.prefetch()):
+        np.testing.assert_array_equal(gb_a.z, gb_b.z)
+        np.testing.assert_array_equal(gb_a.eg_src, gb_b.eg_src)
+        np.testing.assert_array_equal(gb_a.y, gb_b.y)
+
+
+def test_drop_last(rng):
+    loader = GraphLoader(_mols(rng, 10), "qm9", 5.0, 5.0, batch_size=4,
+                         drop_last=True)
+    assert len(loader) == 2
+    assert sum(1 for _ in loader) == 2
