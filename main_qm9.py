@@ -65,6 +65,9 @@ def main():
     parser.add_argument('--platform', type=str, default='auto',
                         help='jax platform (auto|cpu|axon|tpu)')
     parser.add_argument('--save_dir', type=str, default='save')
+    parser.add_argument('--resume', type=str, default='',
+                        help='Checkpoint to resume full train state from '
+                             '(params+optimizer+EMA+step)')
     args = parser.parse_args()
 
     set_seed(args.seed)
@@ -135,6 +138,10 @@ def main():
         clip_norm=1000.0,
     )
     state = init_train_state(params, optimizer, use_ema=True)
+    if args.resume:
+        from pamnet_tpu.train.checkpoint import load_checkpoint
+        state = load_checkpoint(args.resume, state)
+        print(f"Resumed full train state from {args.resume} at step {int(state.step)}")
     eval_step = make_eval_step(cfg)
 
     def to_device(gb):

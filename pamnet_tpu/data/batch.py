@@ -201,6 +201,11 @@ def precompute_structure(
     else:
         raise ValueError(f"unknown dataset kind: {dataset_kind}")
 
+    # Sort edges by (dst, src): aggregation groups become contiguous runs
+    # (deterministic layout; summation order is irrelevant to the math).
+    eg = eg[:, np.lexsort((eg[0], eg[1]))]
+    el = el[:, np.lexsort((el[0], el[1]))]
+
     if variant == "full":
         t2 = graphbuild.triplets_np(el, n)
     else:

@@ -78,14 +78,22 @@ def test_main_pdbbind_smoke(tmp_path, rng):
     assert "Testing RMSE" in r.stdout
 
 
-def test_main_qm9_smoke(tmp_path):
-    r = _run(
-        [os.path.join(REPO, "main_qm9.py"), "--platform", "cpu", "--synthetic", "--limit", "64",
-         "--epochs", "1", "--dim", "8", "--n_layer", "1", "--batch_size", "8"],
-        cwd=REPO,
-    )
+def test_main_qm9_smoke_and_resume(tmp_path):
+    common = ["--platform", "cpu", "--synthetic", "--limit", "64",
+              "--epochs", "1", "--dim", "8", "--n_layer", "1",
+              "--batch_size", "8"]
+    r = _run([os.path.join(REPO, "main_qm9.py")] + common, cwd=str(tmp_path))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Best Validation MAE" in r.stdout
+    ckpt = tmp_path / "save" / "QM9" / "best_model.msgpack"
+    assert ckpt.exists()
+    # Resume from the saved full train state (params+opt+EMA+step).
+    r2 = _run(
+        [os.path.join(REPO, "main_qm9.py")] + common + ["--resume", str(ckpt)],
+        cwd=str(tmp_path),
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "Resumed full train state" in r2.stdout
 
 
 def test_inference_driver_csv_contract(tmp_path, rng):
