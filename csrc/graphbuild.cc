@@ -166,4 +166,24 @@ int64_t expand_incoming(const int32_t* src, int64_t e, int64_t n_nodes,
   return m;
 }
 
+// ELL aggregation-table construction (counting sort): group the first
+// n_valid row ids by value into a fixed-width (num_groups, k) table + mask
+// (the host-side builder behind pamnet_tpu/ops/ell.py; python fallback is
+// build_ell_table_np).  Returns 0, or -1 if a group exceeds k.
+int64_t ell_table(const int32_t* ids, int64_t n_valid, int64_t num_groups,
+                  int64_t k, int32_t* table, float* mask) {
+  std::fill(table, table + num_groups * k, 0);
+  std::fill(mask, mask + num_groups * k, 0.0f);
+  std::vector<int64_t> cursor(num_groups, 0);
+  for (int64_t r = 0; r < n_valid; ++r) {
+    const int32_t g = ids[r];
+    if (g < 0 || g >= num_groups) return -2;
+    const int64_t c = cursor[g]++;
+    if (c >= k) return -1;
+    table[g * k + c] = (int32_t)r;
+    mask[g * k + c] = 1.0f;
+  }
+  return 0;
+}
+
 }  // extern "C"

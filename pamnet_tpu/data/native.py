@@ -72,6 +72,13 @@ def _load():
         i32p, ctypes.c_int64, ctypes.c_int64, i32p, i32p,
         ctypes.c_int32, i32p, ctypes.c_int64,
     ]
+    try:
+        lib.ell_table.restype = ctypes.c_int64
+        lib.ell_table.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p, f32p,
+        ]
+    except AttributeError:  # older .so without the symbol
+        pass
     _lib = lib
     return _lib
 
@@ -111,6 +118,23 @@ def knn_graph(pos, k, batch):
     if m < 0:
         raise RuntimeError("native knn_graph capacity overflow")
     return np.stack([out[:m], out[cap : cap + m]]).copy()
+
+
+def ell_table(ids, n_valid, num_groups, k):
+    lib = _load()
+    if not hasattr(lib, "ell_table"):
+        raise RuntimeError("libgraphbuild.so lacks ell_table; rebuild csrc")
+    table = np.empty((num_groups, k), dtype=np.int32)
+    mask = np.empty((num_groups, k), dtype=np.float32)
+    rc = lib.ell_table(
+        np.ascontiguousarray(ids, dtype=np.int32), int(n_valid),
+        int(num_groups), int(k), table, mask,
+    )
+    if rc == -1:
+        raise ValueError(f"ELL overflow: a group exceeds table width {k}")
+    if rc != 0:
+        raise ValueError("group id out of range")
+    return table, mask
 
 
 def _expand(edge_index, num_nodes, anchor_is_src):

@@ -77,6 +77,10 @@ gather_ell.defvjp(_gather_fwd, _gather_bwd)
 def build_ell_table_np(ids, num_valid: int, num_groups: int, k: int):
     """Host-side ELL construction: group row indices by ``ids`` value.
 
+    Dispatches to the C++ counting-sort builder (csrc/graphbuild.cc) when
+    available — the python path's argsort was ~60% of batch collation time
+    on this host.
+
     Args:
       ids: (R,) int group id per row (rows >= num_valid are padding).
       num_valid: count of real rows.
@@ -85,6 +89,14 @@ def build_ell_table_np(ids, num_valid: int, num_groups: int, k: int):
     Returns: (table (G, k) int32, tmask (G, k) float32).
     """
     import numpy as np
+
+    from pamnet_tpu.data import native
+
+    if native.available() and num_valid > 1024:
+        try:
+            return native.ell_table(ids, num_valid, num_groups, k)
+        except RuntimeError:
+            pass  # stale .so without the symbol; fall through
 
     ids = np.asarray(ids[:num_valid], dtype=np.int64)
     order = np.argsort(ids, kind="stable")

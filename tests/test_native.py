@@ -57,6 +57,22 @@ def test_native_knn_matches_numpy(rng):
     assert _pairs(got) == set(qs)
 
 
+def test_native_ell_table_matches_numpy(rng):
+    import os
+
+    from pamnet_tpu.ops.ell import build_ell_table_np
+
+    ids = np.sort(rng.integers(0, 512, 9000)).astype(np.int32)
+    got_t, got_m = native.ell_table(ids, 8800, 512, 64)
+    os.environ["PAMNET_DISABLE_NATIVE"] = "1"
+    try:
+        want_t, want_m = build_ell_table_np(ids, 8800, 512, 64)
+    finally:
+        del os.environ["PAMNET_DISABLE_NATIVE"]
+    np.testing.assert_array_equal(got_t, want_t)
+    np.testing.assert_array_equal(got_m, want_m)
+
+
 def test_native_triplets_and_pairs_match_numpy(rng):
     pos = (rng.random((400, 3)) * 8).astype(np.float32)
     edges = graphbuild.radius_graph_np(pos, 1.5, None, 1000)
