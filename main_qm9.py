@@ -68,6 +68,9 @@ def main():
     parser.add_argument('--resume', type=str, default='',
                         help='Checkpoint to resume full train state from '
                              '(params+optimizer+EMA+step)')
+    parser.add_argument('--trace_dir', type=str, default='',
+                        help='Capture a jax.profiler device trace of epoch 0 '
+                             'into this directory')
     args = parser.parse_args()
 
     set_seed(args.seed)
@@ -162,35 +165,42 @@ def main():
 
     print("Start training!")
     best_val_loss, test_loss = None, float('nan')
+    import contextlib
+
+    from pamnet_tpu.utils.profiling import trace
+
     for epoch in range(args.epochs):
+        tracing = trace(args.trace_dir) if (args.trace_dir and epoch == 0) \
+            else contextlib.nullcontext()
         t0 = time.time()
         loss_sum, nb = 0.0, 0
         it = train_loader.prefetch()
-        if dp > 1:
-            group = []
-            for gb in it:
-                group.append(to_device(gb))
-                if len(group) == dp:
-                    state, loss = step_fn(state, stack_microbatches(group))
+        with tracing:
+            if dp > 1:
+                group = []
+                for gb in it:
+                    group.append(to_device(gb))
+                    if len(group) == dp:
+                        state, loss = step_fn(state, stack_microbatches(group))
+                        loss_sum += float(loss); nb += 1
+                        group = []
+            elif scan_steps > 1:
+                group = []
+                for gb in it:
+                    group.append(to_device(gb))
+                    if len(group) == scan_steps:
+                        state, losses = step_fn(state, stack_microbatches(group))
+                        loss_sum += float(losses.sum()); nb += len(group)
+                        group = []
+                if group:  # trailing partial block, stepped one by one
+                    single = make_train_step(cfg, optimizer, "l1", ema_decay=0.999)
+                    for gb in group:
+                        state, loss = single(state, gb)
+                        loss_sum += float(loss); nb += 1
+            else:
+                for gb in it:
+                    state, loss = step_fn(state, to_device(gb))
                     loss_sum += float(loss); nb += 1
-                    group = []
-        elif scan_steps > 1:
-            group = []
-            for gb in it:
-                group.append(to_device(gb))
-                if len(group) == scan_steps:
-                    state, losses = step_fn(state, stack_microbatches(group))
-                    loss_sum += float(losses.sum()); nb += len(group)
-                    group = []
-            if group:  # trailing partial block, stepped one by one
-                single = make_train_step(cfg, optimizer, "l1", ema_decay=0.999)
-                for gb in group:
-                    state, loss = single(state, gb)
-                    loss_sum += float(loss); nb += 1
-        else:
-            for gb in it:
-                state, loss = step_fn(state, to_device(gb))
-                loss_sum += float(loss); nb += 1
         train_loss = loss_sum / max(nb, 1)
 
         # Eval under EMA weights (reference: main_qm9.py:29-37,120).

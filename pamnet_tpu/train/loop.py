@@ -188,3 +188,49 @@ def make_dp_train_step(cfg: PAMNetConfig, optimizer, loss_kind: str, mesh: Mesh,
         out_specs=(P(), P()),
     )
     return jax.jit(sharded)
+
+
+def make_dp_multistep_train_step(cfg: PAMNetConfig, optimizer, loss_kind: str,
+                                 mesh: Mesh, ema_decay: float | None = 0.999,
+                                 axis: str = "dp"):
+    """Data-parallel + on-device multi-step: batches carry a leading scan
+    axis S and a device axis D, i.e. every leaf is (S, D, ...).  One dispatch
+    executes S synchronized DP steps (psum-reduced grads each step)."""
+
+    def local_loss(params, batch: GraphBatch):
+        pred = apply_pamnet(params, batch, cfg)
+        total, count = _loss_terms(pred, batch.y, batch.graph_mask, loss_kind)
+        global_count = jax.lax.psum(count, axis)
+        return total / jnp.maximum(global_count, 1.0)
+
+    def shard_steps(state: TrainState, batches: GraphBatch):
+        batches = jax.tree.map(lambda x: x[:, 0], batches)  # strip device axis
+
+        def body(s, b):
+            local, grads = jax.value_and_grad(local_loss)(s.params, b)
+            loss = jax.lax.psum(local, axis)
+            updates, opt_state = optimizer.update(grads, s.opt_state, s.params)
+            params = optax.apply_updates(s.params, updates)
+            ema = (
+                ema_update(s.ema, params, ema_decay)
+                if s.ema is not None
+                else None
+            )
+            return TrainState(params, opt_state, ema, s.step + 1), loss
+
+        return jax.lax.scan(body, state, batches)
+
+    sharded = shard_map(
+        shard_steps,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis)),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(sharded)
+
+
+def stack_step_blocks(blocks: list[list[GraphBatch]]) -> GraphBatch:
+    """Stack S blocks of D microbatches into (S, D, ...) leaves for
+    ``make_dp_multistep_train_step``."""
+    stacked_blocks = [stack_microbatches(b) for b in blocks]
+    return jax.tree.map(lambda *xs: jnp.stack(xs, 0), *stacked_blocks)

@@ -180,6 +180,35 @@ def test_multistep_scan_matches_sequential(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+def test_dp_multistep_matches_dp_sequential(rng):
+    """(S=3 scan) x (D=8 data parallel) == 3 sequential DP steps."""
+    from pamnet_tpu.train.loop import (
+        make_dp_multistep_train_step,
+        stack_step_blocks,
+    )
+
+    blocks = [[_batch(rng, n_mols=2) for _ in range(8)] for _ in range(3)]
+    params = init_pamnet(jax.random.PRNGKey(4), CFG)
+    import optax
+
+    opt = optax.sgd(0.1)
+    mesh = make_mesh(8)
+
+    state_a = init_train_state(params, opt)
+    dp_step = make_dp_train_step(CFG, opt, "l1", mesh)
+    seq_losses = []
+    for block in blocks:
+        state_a, loss = dp_step(state_a, stack_microbatches(block))
+        seq_losses.append(float(loss))
+
+    state_b = init_train_state(params, opt)
+    run = make_dp_multistep_train_step(CFG, opt, "l1", mesh)
+    state_b, losses = run(state_b, stack_step_blocks(blocks))
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
 def test_eval_step(rng):
     params = init_pamnet(jax.random.PRNGKey(0), CFG)
     ev = make_eval_step(CFG)
