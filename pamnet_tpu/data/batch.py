@@ -73,6 +73,15 @@ class GraphBatch(NamedTuple):
     # every aggregation (and every gather's backward) is a gather + dense
     # K-sum instead of an XLA scatter.  None when built without tables.
     tables: dict | None = None
+    # Host-precomputed spherical basis (geometry-only, no trainable parts;
+    # float64 on host -> f32): per-local-edge normalized radial table
+    # (El, ns*nr) and per-triplet Y_l0 tables (T2, ns)/(T1, ns).  None ->
+    # the model evaluates the basis on device (needed only if positions
+    # change under jit).  Profiling: the on-device spherical-Bessel
+    # evaluation dominated RNA inference (~half the forward).
+    sbf_radial: np.ndarray | None = None
+    cbf2: np.ndarray | None = None
+    cbf1: np.ndarray | None = None
 
     @property
     def num_nodes(self) -> int:
@@ -232,6 +241,59 @@ def precompute_structure(
     return s
 
 
+def attach_basis(s: dict, cutoff_l: float, num_spherical: int = 7,
+                 num_radial: int = 6, envelope_exponent: int = 5) -> dict:
+    """Precompute the spherical basis for one structure (host, float64).
+
+    Adds ``sbf_radial`` (el, ns*nr), ``cbf2`` (t2, ns), ``cbf1`` (t1, ns) —
+    all geometry-only (reference math: layers/basic.py:79-116), safe to
+    cache because no trainable parameter enters them.
+    """
+    from pamnet_tpu.ops import bessel
+
+    t = bessel.bessel_basis_tables(num_spherical, num_radial)
+    pos = s["pos"].astype(np.float64)
+    src, dst = s["el"]
+    dist = np.sqrt(((pos[dst] - pos[src]) ** 2).sum(-1))
+    x = dist / cutoff_l
+    p = envelope_exponent
+    a = -(p + 1) * (p + 2) / 2.0
+    b = p * (p + 2)
+    c = -p * (p + 1) / 2.0
+    env = np.where(x < 1.0, 1.0 / np.maximum(x, 1e-12) + a * x**p
+                   + b * x ** (p + 1) + c * x ** (p + 2), 0.0)
+    rad = np.zeros((len(dist), num_spherical, num_radial))
+    for l in range(num_spherical):
+        for n in range(num_radial):
+            rad[:, l, n] = t["norm"][l, n] * bessel.sph_jn(
+                l, np.maximum(t["zeros"][l, n] * x, 1e-12)
+            )
+    rad *= env[:, None, None]
+    s["sbf_radial"] = rad.reshape(len(dist), -1).astype(np.float32)
+
+    def cbf(tbl, a_idx, b_idx, c_idx):
+        v1 = pos[tbl[b_idx]] - pos[tbl[a_idx]]
+        v2 = pos[tbl[c_idx]] - pos[tbl[b_idx]]
+        dot = (v1 * v2).sum(-1)
+        cr = np.linalg.norm(np.cross(v1, v2), axis=-1)
+        ang = np.arctan2(cr, dot)
+        cth = np.cos(ang)
+        polys = [np.ones_like(cth)]
+        if num_spherical > 1:
+            polys.append(cth)
+        for l in range(2, num_spherical):
+            polys.append(((2 * l - 1) * cth * polys[l - 1] - (l - 1) * polys[l - 2]) / l)
+        return (np.stack(polys, -1) * t["sph_pref"]).astype(np.float32)
+
+    s["cbf2"] = (
+        cbf(s["t2"], "idx_i", "idx_j", "idx_k")
+        if s["t2"]["idx_ji"].size
+        else np.zeros((0, num_spherical), np.float32)
+    )
+    s["cbf1"] = cbf(s["t1"], "idx_i", "idx_j1", "idx_j2")
+    return s
+
+
 def structure_counts(s: dict) -> tuple[int, int, int, int, int]:
     return (
         s["pos"].shape[0],
@@ -348,8 +410,16 @@ def collate_structures(structs: list[dict], pads: PadSizes | None = None,
 def _assemble(structs, pads, z, feat, pos, node_graph, eg, el, t2, t1, y, tables):
     num_nodes = pos.shape[0]
     nb = len(structs)
+    basis = {}
+    if all("sbf_radial" in s for s in structs):
+        basis = dict(
+            sbf_radial=_pad1(np.concatenate([s["sbf_radial"] for s in structs]), pads.el),
+            cbf2=_pad1(np.concatenate([s["cbf2"] for s in structs]), pads.t2),
+            cbf1=_pad1(np.concatenate([s["cbf1"] for s in structs]), pads.t1),
+        )
     return GraphBatch(
         tables=tables,
+        **basis,
         z=_pad1(z, pads.n),
         feat=_pad1(feat, pads.n),
         pos=_pad1(pos, pads.n),

@@ -49,6 +49,10 @@ class GraphLoader:
         drop_last: bool = False,
         align: int = 128,
         build_tables: bool = True,
+        precompute_basis: bool = True,
+        num_spherical: int = 7,
+        num_radial: int = 6,
+        envelope_exponent: int = 5,
     ):
         self.dataset_kind = dataset_kind
         self.batch_size = batch_size
@@ -62,6 +66,12 @@ class GraphLoader:
             precompute_structure(m, dataset_kind, cutoff_l, cutoff_g, variant)
             for m in mols
         ]
+        if precompute_basis:
+            from pamnet_tpu.data.batch import attach_basis
+
+            for s in self.structs:
+                attach_basis(s, cutoff_l, num_spherical, num_radial,
+                             envelope_exponent)
         if pads is None:
             pads = self._worst_case_pads(align)
         self.pads = pads

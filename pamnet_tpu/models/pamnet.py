@@ -110,26 +110,40 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
     dist_g = _safe_edge_dist(pos, g.eg_src, g.eg_dst, g.eg_mask, cfg.cutoff_g)
     dist_l = _safe_edge_dist(pos, g.el_src, g.el_dst, g.el_mask, cfg.cutoff_l)
 
-    # ---- angles (reference: models.py:164-177) ----
     use_two_hop = cfg.variant == "full"
-    if use_two_hop:
-        angle2 = _angle(pos, g.t2_i, g.t2_j, g.t2_k, g.t2_mask)
-    angle1 = _angle(pos, g.t1_i, g.t1_j1, g.t1_j2, g.t1_mask)
 
     # ---- bases (reference: models.py:179-188) ----
+    # The 1D Bessel basis has *trainable* frequencies, so it always runs on
+    # device; the spherical basis is geometry-only and uses the host
+    # precomputed float64 tables when the batch carries them (the on-device
+    # evaluation dominated RNA inference time).
     rbf_l = bessel_rbf(dist_l, params["rbf_l"]["freq"], cfg.cutoff_l, cfg.envelope_exponent)
     rbf_g = bessel_rbf(dist_g, params["rbf_g"]["freq"], cfg.cutoff_g, cfg.envelope_exponent)
     edge_attr_rbf_l = nn.mlp(params["mlp_rbf_l"], rbf_l)
     edge_attr_rbf_g = nn.mlp(params["mlp_rbf_g"], rbf_g)
 
-    sbf_args = (cfg.num_spherical, cfg.num_radial, cfg.cutoff_l, cfg.envelope_exponent)
+    ns, nr = cfg.num_spherical, cfg.num_radial
+    if g.sbf_radial is not None:
+        rad = g.sbf_radial.reshape(-1, ns, nr)
+        if use_two_hop:
+            sbf2 = (rad[g.t2_kj] * g.cbf2[:, :, None]).reshape(-1, ns * nr)
+            sbf1 = (rad[g.t1_jj] * g.cbf1[:, :, None]).reshape(-1, ns * nr)
+        else:
+            sbf = (rad[g.t1_jj] * g.cbf1[:, :, None]).reshape(-1, ns * nr)
+    else:
+        if use_two_hop:
+            angle2 = _angle(pos, g.t2_i, g.t2_j, g.t2_k, g.t2_mask)
+        angle1 = _angle(pos, g.t1_i, g.t1_j1, g.t1_j2, g.t1_mask)
+        sbf_args = (ns, nr, cfg.cutoff_l, cfg.envelope_exponent)
+        if use_two_hop:
+            sbf2 = spherical_basis(dist_l, angle2, g.t2_kj, *sbf_args)
+            sbf1 = spherical_basis(dist_l, angle1, g.t1_jj, *sbf_args)
+        else:
+            sbf = spherical_basis(dist_l, angle1, g.t1_jj, *sbf_args)
     if use_two_hop:
-        sbf2 = spherical_basis(dist_l, angle2, g.t2_kj, *sbf_args)
-        sbf1 = spherical_basis(dist_l, angle1, g.t1_jj, *sbf_args)
         edge_attr_sbf2 = nn.mlp(params["mlp_sbf2"], sbf2)
         edge_attr_sbf1 = nn.mlp(params["mlp_sbf1"], sbf1)
     else:
-        sbf = spherical_basis(dist_l, angle1, g.t1_jj, *sbf_args)
         edge_attr_sbf = nn.mlp(params["mlp_sbf"], sbf)
 
     # ---- mixed-precision boundary: geometry/bases above stay f32; the
