@@ -124,12 +124,19 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
 
     ns, nr = cfg.num_spherical, cfg.num_radial
     if g.sbf_radial is not None:
-        rad = g.sbf_radial.reshape(-1, ns, nr)
+        # Gather the FLAT (El, ns*nr) table and expand cbf to ns*nr lanes:
+        # gathering a reshaped (El, ns, nr) view materializes (T, ns, nr)
+        # arrays whose minor dims tile-pad to (8, 128) — a 24x memory blowup
+        # that dominated RNA inference.
+        def sbf_from_tables(idx, cbf):
+            cbf_rep = jnp.repeat(cbf, nr, axis=1)  # (T, ns*nr)
+            return g.sbf_radial[idx] * cbf_rep
+
         if use_two_hop:
-            sbf2 = (rad[g.t2_kj] * g.cbf2[:, :, None]).reshape(-1, ns * nr)
-            sbf1 = (rad[g.t1_jj] * g.cbf1[:, :, None]).reshape(-1, ns * nr)
+            sbf2 = sbf_from_tables(g.t2_kj, g.cbf2)
+            sbf1 = sbf_from_tables(g.t1_jj, g.cbf1)
         else:
-            sbf = (rad[g.t1_jj] * g.cbf1[:, :, None]).reshape(-1, ns * nr)
+            sbf = sbf_from_tables(g.t1_jj, g.cbf1)
     else:
         if use_two_hop:
             angle2 = _angle(pos, g.t2_i, g.t2_j, g.t2_k, g.t2_mask)

@@ -190,5 +190,8 @@ def spherical_basis(
     """
     rbf = spherical_basis_edge_rbf(dist, num_spherical, num_radial, cutoff, exponent)
     cbf = legendre_cbf(angle, num_spherical)  # (T, ns)
-    out = rbf[idx_edge] * cbf[:, :, None]  # (T, ns, nr)
-    return out.reshape(out.shape[0], num_spherical * num_radial)
+    # Gather the flattened (E, ns*nr) table: gathering a (E, ns, nr) view
+    # materializes (T, ns, nr) arrays whose minor dims tile-pad to (8, 128)
+    # on TPU — a 24x memory blowup.
+    rbf_flat = rbf.reshape(rbf.shape[0], num_spherical * num_radial)
+    return rbf_flat[idx_edge] * jnp.repeat(cbf, num_radial, axis=1)
