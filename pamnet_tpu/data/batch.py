@@ -210,9 +210,15 @@ def precompute_structure(
     else:
         raise ValueError(f"unknown dataset kind: {dataset_kind}")
 
-    # Sort edges by (dst, src): aggregation groups become contiguous runs
-    # (deterministic layout; summation order is irrelevant to the math).
-    eg = eg[:, np.lexsort((eg[0], eg[1]))]
+    # Sort edges by their aggregation endpoint so forward segment-sums can
+    # run as prefix-scans (ops/ell.py::segment_sum_sorted); summation order
+    # is irrelevant to the math.  The global layer aggregates at dst under
+    # source_to_target flow (QM9/PDBbind) and at src under target_to_source
+    # (RNA, reference main_rna_puzzles.py:57); local layers always at dst.
+    if dataset_kind == "rna":
+        eg = eg[:, np.lexsort((eg[1], eg[0]))]  # src-major
+    else:
+        eg = eg[:, np.lexsort((eg[0], eg[1]))]  # dst-major
     el = el[:, np.lexsort((el[0], el[1]))]
 
     if variant == "full":
@@ -366,14 +372,33 @@ def collate_structures(structs: list[dict], pads: PadSizes | None = None,
             len(structs), align=align,
         )
 
+    # ---- sorted-group offsets (always built; ops/ell.py::segment_sum_sorted
+    # turns every forward segment-sum into a prefix-scan) ----
+    from pamnet_tpu.ops.ell import build_ell_table_np, build_offsets_np
+
+    def _is_sorted(a, n):
+        return n == 0 or bool(np.all(np.diff(a[:n]) >= 0))
+
+    tables: dict = {}
+    n_eg, n_el = eg.shape[1], el.shape[1]
+    n_t2, n_t1 = t2["idx_ji"].shape[0], t1["idx_ji"].shape[0]
+    if _is_sorted(eg[1], n_eg):
+        tables["eg_dst_off"] = build_offsets_np(eg[1], n_eg, pads.n)
+    elif _is_sorted(eg[0], n_eg):
+        tables["eg_src_off"] = build_offsets_np(eg[0], n_eg, pads.n)
+    if _is_sorted(el[1], n_el):
+        tables["el_dst_off"] = build_offsets_np(el[1], n_el, pads.n)
+    if _is_sorted(t2["idx_ji"], n_t2):
+        tables["t2_ji_off"] = build_offsets_np(t2["idx_ji"], n_t2, pads.el)
+    if _is_sorted(t1["idx_ji"], n_t1):
+        tables["t1_ji_off"] = build_offsets_np(t1["idx_ji"], n_t1, pads.el)
+
     # ---- scatter-free ELL aggregation tables (ops/ell.py) ----
-    # Pays off for training (it removes the scatter-adds in gather
+    # Pay off for training (they remove the scatter-adds in gather
     # *backwards*); for inference on wide-degree graphs (RNA knn) the
     # gather blow-up costs more than the forward scatters it saves.
     if not build_tables:
-        return _assemble(structs, pads, z, feat, pos, node_graph, eg, el, t2, t1, y, None)
-
-    from pamnet_tpu.ops.ell import build_ell_table_np
+        return _assemble(structs, pads, z, feat, pos, node_graph, eg, el, t2, t1, y, tables)
 
     def k_auto(ids, n_valid, groups, fixed):
         if fixed:
@@ -385,11 +410,8 @@ def collate_structures(structs: list[dict], pads: PadSizes | None = None,
         k = k_auto(ids_padded, n_valid, groups, fixed)
         return build_ell_table_np(ids_padded, n_valid, groups, k)
 
-    n_eg, n_el = eg.shape[1], el.shape[1]
-    n_t2, n_t1 = t2["idx_ji"].shape[0], t1["idx_ji"].shape[0]
     eg_dst_p, eg_src_p = _pad1(eg[1], pads.eg), _pad1(eg[0], pads.eg)
     el_dst_p, el_src_p = _pad1(el[1], pads.el), _pad1(el[0], pads.el)
-    tables = {}
     for name, ids, n_valid, groups, fixed in (
         ("eg_dst", eg_dst_p, n_eg, pads.n, pads.kg_dst),
         ("eg_src", eg_src_p, n_eg, pads.n, pads.kg_src),

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from pamnet_tpu import nn
-from pamnet_tpu.ops.ell import gather_ell, segment_sum_ell
+from pamnet_tpu.ops.ell import gather_ell, segment_sum_ell, segment_sum_sorted
 from pamnet_tpu.ops.segment import segment_sum
 
 
@@ -43,6 +43,26 @@ def init_global_mp(key, dim: int):
 
 def _t(tables, name):
     return tables[name], tables[name + "_mask"]
+
+
+def _agg(values, ids, row_mask, num_groups, tables, key):
+    """Masked segment sum, preferring (1) scatter-free ELL tables (built for
+    training; fastest at QM9 scale), then (2) prefix-scan over group-sorted
+    rows (offsets are always built; best for inference on huge edge sets
+    where ELL gathers blow up), then (3) XLA scatter-add."""
+    if tables:
+        if key in tables:
+            return segment_sum_ell(values, ids, row_mask, *_t(tables, key))
+        if key + "_off" in tables:
+            return segment_sum_sorted(values, ids, row_mask, tables[key + "_off"])
+    return segment_sum(values * row_mask[:, None], ids, num_groups)
+
+
+def _gath(x, idx, tables, key):
+    """Row gather; scatter-free ELL backward when the table is available."""
+    if tables and key in tables:
+        return gather_ell(x, idx, *_t(tables, key))
+    return x[idx]
 
 
 def global_mp(p, x, edge_attr, src, dst, e_mask, flow: str, num_nodes: int,
@@ -76,19 +96,12 @@ def global_mp(p, x, edge_attr, src, dst, e_mask, flow: str, num_nodes: int,
     b = p["mlp_m"][0]["b"].astype(x.dtype)
     xi_proj = x @ w[:dim]
     xj_proj = x @ w[dim : 2 * dim]
-    if tables is not None:
-        x_i = gather_ell(xi_proj, i_idx, *_t(tables, ti))
-        x_j = gather_ell(xj_proj, j_idx, *_t(tables, tj))
-    else:
-        x_i, x_j = xi_proj[i_idx], xj_proj[j_idx]
+    x_i = _gath(xi_proj, i_idx, tables, ti)
+    x_j = _gath(xj_proj, j_idx, tables, tj)
     m = nn.silu(x_i + x_j + edge_attr @ w[2 * dim :] + b)
     m = m * nn.linear(p["W_edge_attr"], edge_attr)
     m = m * e_mask[:, None]
-    if tables is not None:
-        agg = segment_sum_ell(m, agg_idx, e_mask, *_t(tables, t_agg))
-    else:
-        agg = segment_sum(m, agg_idx, num_nodes)
-    x = x + agg
+    x = x + _agg(m, agg_idx, e_mask, num_nodes, tables, t_agg)
     x = nn.mlp(p["mlp_x2"], x)
 
     x = nn.res(p["res1"], x) + res_x
@@ -107,11 +120,8 @@ def _edge_message(mlp_p, x, rbf, i, j, tables):
     w = mlp_p[0]["w"].astype(x.dtype)  # (3*dim, dim)
     b = mlp_p[0]["b"].astype(x.dtype)
     xi, xj = x @ w[:dim], x @ w[dim : 2 * dim]
-    if tables is not None:
-        x_i = gather_ell(xi, i, *_t(tables, "el_dst"))
-        x_j = gather_ell(xj, j, *_t(tables, "el_src"))
-    else:
-        x_i, x_j = xi[i], xj[j]
+    x_i = _gath(xi, i, tables, "el_dst")
+    x_j = _gath(xj, j, tables, "el_src")
     return nn.silu(x_i + x_j + rbf @ w[2 * dim :] + b)
 
 
@@ -180,12 +190,12 @@ def local_mp(
     # op (SURVEY.md section 3.2); padded triplets are masked to exact zero.
     b2 = nn.mlp(p["mlp_sbf"], sbf2) * t2_mask[:, None]
     b1 = nn.mlp(p["mlp_sbf"], sbf1) * t1_mask[:, None]
-    if tables is not None:
-        m2 = gather_ell(m_neighbor, t2_kj, *_t(tables, "t2_kj")) * b2
-        m1 = gather_ell(m_neighbor, t1_jj, *_t(tables, "t1_jj")) * b1
-        m_other = segment_sum_ell(
-            m2, t2_ji, t2_mask, *_t(tables, "t2_ji")
-        ) + segment_sum_ell(m1, t1_ji, t1_mask, *_t(tables, "t1_ji"))
+    if tables:
+        m2 = _gath(m_neighbor, t2_kj, tables, "t2_kj") * b2
+        m1 = _gath(m_neighbor, t1_jj, tables, "t1_jj") * b1
+        m_other = _agg(m2, t2_ji, t2_mask, num_edges, tables, "t2_ji") + _agg(
+            m1, t1_ji, t1_mask, num_edges, tables, "t1_ji"
+        )
     else:
         dim = rbf.shape[1]
         p2 = use_pallas and fits_pallas(num_edges, b2.shape[0], dim)
@@ -197,10 +207,7 @@ def local_mp(
 
     m = nn.linear(p["lin_rbf_out"], rbf) * m
     m = m * el_mask[:, None]
-    if tables is not None:
-        x = x + segment_sum_ell(m, i, el_mask, *_t(tables, "el_dst"))
-    else:
-        x = x + segment_sum(m, i, num_nodes)
+    x = x + _agg(m, i, el_mask, num_nodes, tables, "el_dst")
     x = nn.mlp(p["mlp_x2"], x)
 
     x = nn.res(p["res1"], x) + res_x
@@ -229,19 +236,12 @@ def local_mp_s(
         p["lin_rbf"], rbf
     )
     b1 = nn.mlp(p["mlp_sbf"], sbf) * t1_mask[:, None]
-    if tables is not None:
-        m1 = gather_ell(m_neighbor, t1_jj, *_t(tables, "t1_jj")) * b1
-        m = m_ji + segment_sum_ell(m1, t1_ji, t1_mask, *_t(tables, "t1_ji"))
-    else:
-        m1 = m_neighbor[t1_jj] * b1
-        m = m_ji + segment_sum(m1, t1_ji, num_edges)
+    m1 = _gath(m_neighbor, t1_jj, tables, "t1_jj") * b1
+    m = m_ji + _agg(m1, t1_ji, t1_mask, num_edges, tables, "t1_ji")
 
     m = nn.linear(p["lin_rbf_out"], rbf) * m
     m = m * el_mask[:, None]
-    if tables is not None:
-        x = x + segment_sum_ell(m, i, el_mask, *_t(tables, "el_dst"))
-    else:
-        x = x + segment_sum(m, i, num_nodes)
+    x = x + _agg(m, i, el_mask, num_nodes, tables, "el_dst")
     x = nn.mlp(p["mlp_x2"], x)
 
     x = nn.res(p["res1"], x) + res_x

@@ -74,6 +74,51 @@ def _gather_bwd(res, g):
 gather_ell.defvjp(_gather_fwd, _gather_bwd)
 
 
+@jax.custom_vjp
+def segment_sum_sorted(values, seg_ids, row_mask, offsets):
+    """Segment sum for rows pre-sorted by group: prefix-scan + offset
+    differences (no scatter, no gather blow-up).
+
+    ``offsets`` (G+1,) marks each group's [start, end) in the first
+    ``offsets[-1]`` (valid) rows; padded tail rows are never touched by the
+    slicing, so no masking is needed in the forward.  Backward is the plain
+    gather ``g[seg_ids]`` (masked), as for segment_sum_ell.
+
+    Precision note: group sums come out as differences of f32 prefix sums;
+    relative error grows ~sqrt(R)*eps, fine at R ~ 1e6 in f32 (validated by
+    the RNA parity tests).
+    """
+    s = jnp.cumsum(values, axis=0)
+    s = jnp.concatenate([jnp.zeros_like(s[:1]), s], axis=0)
+    return s[offsets[1:]] - s[offsets[:-1]]
+
+
+def _sorted_fwd(values, seg_ids, row_mask, offsets):
+    return segment_sum_sorted(values, seg_ids, row_mask, offsets), (
+        seg_ids,
+        row_mask,
+    )
+
+
+def _sorted_bwd(res, g):
+    seg_ids, row_mask = res
+    return g[seg_ids] * row_mask[:, None].astype(g.dtype), None, None, None
+
+
+segment_sum_sorted.defvjp(_sorted_fwd, _sorted_bwd)
+
+
+def build_offsets_np(ids, num_valid: int, num_groups: int):
+    """(G+1,) int32 group offsets for rows sorted by ``ids`` (validates
+    sortedness of the valid region)."""
+    import numpy as np
+
+    ids = np.asarray(ids[:num_valid])
+    if num_valid and np.any(np.diff(ids) < 0):
+        raise ValueError("rows are not sorted by group id")
+    return np.searchsorted(ids, np.arange(num_groups + 1)).astype(np.int32)
+
+
 def build_ell_table_np(ids, num_valid: int, num_groups: int, k: int):
     """Host-side ELL construction: group row indices by ``ids`` value.
 

@@ -70,6 +70,38 @@ def test_gather_ell_and_gradient(rng):
     np.testing.assert_allclose(g_ell, g_ref, rtol=1e-4, atol=1e-5)
 
 
+def test_segment_sum_sorted_matches(rng):
+    from pamnet_tpu.ops.ell import build_offsets_np, segment_sum_sorted
+
+    values, ids, row_mask, _, _ = _case(rng)
+    offsets = jnp.asarray(build_offsets_np(np.asarray(ids), 150, 32))
+    got = np.asarray(segment_sum_sorted(values, ids, row_mask, offsets))
+    want = np.asarray(segment_sum(values * row_mask[:, None], ids, 32))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # Gradient parity.
+    def f_sorted(v):
+        return (segment_sum_sorted(v, ids, row_mask, offsets) ** 2).sum()
+
+    def f_ref(v):
+        return (segment_sum(v * row_mask[:, None], ids, 32) ** 2).sum()
+
+    g_a = np.asarray(jax.grad(f_sorted)(values))
+    g_b = np.asarray(jax.grad(f_ref)(values))
+    np.testing.assert_allclose(g_a, g_b, rtol=1e-3, atol=1e-4)
+
+
+def test_unsorted_offsets_raise(rng):
+    from pamnet_tpu.ops.ell import build_offsets_np
+
+    ids = np.array([3, 1, 2], np.int32)
+    try:
+        build_offsets_np(ids, 3, 4)
+        raise AssertionError("expected sortedness error")
+    except ValueError as e:
+        assert "sorted" in str(e)
+
+
 def test_table_overflow_raises(rng):
     ids = np.zeros(20, np.int32)  # all one group
     try:
