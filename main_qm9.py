@@ -34,6 +34,24 @@ def evaluate(eval_step, params, loader, to_device):
     return total / max(count, 1)
 
 
+class StackedEval:
+    """Pre-staged one-dispatch evaluation over a whole split (batches are
+    static; stacking them once removes per-batch dispatch latency)."""
+
+    def __init__(self, eval_run, loader, to_device):
+        from pamnet_tpu.train.loop import stack_microbatches
+
+        batches = [to_device(gb) for gb in loader]
+        self.stacked = stack_microbatches(batches)
+        self.mask = np.concatenate([np.asarray(b.graph_mask) for b in batches]) > 0
+        self.y = np.concatenate([np.asarray(b.y) for b in batches])
+        self.run = eval_run
+
+    def mae(self, params) -> float:
+        preds = np.asarray(self.run(params, self.stacked)).reshape(-1)
+        return float(np.abs(preds[self.mask] - self.y[self.mask]).mean())
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--gpu', type=int, default=0, help='Device ordinal (CLI parity).')
@@ -145,7 +163,8 @@ def main():
         from pamnet_tpu.train.checkpoint import load_checkpoint
         state = load_checkpoint(args.resume, state)
         print(f"Resumed full train state from {args.resume} at step {int(state.step)}")
-    eval_step = make_eval_step(cfg)
+    from pamnet_tpu.train.loop import make_multistep_eval
+    eval_run = make_multistep_eval(cfg)
 
     def to_device(gb):
         return jax.tree.map(jnp.asarray, gb)
@@ -162,6 +181,9 @@ def main():
 
     save_folder = osp.join('.', args.save_dir, args.dataset)
     os.makedirs(save_folder, exist_ok=True)
+
+    val_eval = StackedEval(eval_run, val_loader, to_device)
+    test_eval = StackedEval(eval_run, test_loader, to_device)
 
     print("Start training!")
     best_val_loss, test_loss = None, float('nan')
@@ -204,9 +226,9 @@ def main():
         train_loss = loss_sum / max(nb, 1)
 
         # Eval under EMA weights (reference: main_qm9.py:29-37,120).
-        val_loss = evaluate(eval_step, state.ema, val_loader, to_device)
+        val_loss = val_eval.mae(state.ema)
         if best_val_loss is None or val_loss <= best_val_loss:
-            test_loss = evaluate(eval_step, state.ema, test_loader, to_device)
+            test_loss = test_eval.mae(state.ema)
             best_val_loss = val_loss
             save_checkpoint(osp.join(save_folder, "best_model.msgpack"), state)
 

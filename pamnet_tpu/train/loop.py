@@ -124,6 +124,22 @@ def make_multistep_train_step(cfg: PAMNetConfig, optimizer, loss_kind: str,
     return steps
 
 
+def make_multistep_eval(cfg: PAMNetConfig):
+    """One-dispatch evaluation: batches stacked on a leading scan axis S ->
+    (S, G) predictions (pairs with ``stack_microbatches``; removes per-batch
+    dispatch latency like the multistep train step)."""
+
+    @jax.jit
+    def run(params, batches: GraphBatch):
+        def body(carry, b):
+            return carry, apply_pamnet(params, b, cfg)
+
+        _, preds = jax.lax.scan(body, None, batches)
+        return preds
+
+    return run
+
+
 def make_eval_step(cfg: PAMNetConfig):
     """Masked prediction: returns (pred, graph_mask) for metric accumulation
     on host (under EMA weights when the caller passes state.ema)."""
