@@ -153,6 +153,55 @@ def test_preprocess_rna_pipeline(tmp_path, rng):
     assert mol["y"] == pytest.approx(4.321, abs=1e-3)
 
 
+def test_pdbbind_full_chain(tmp_path, rng):
+    """Raw PDBbind layout -> preprocess_pdbbind.py -> TU files ->
+    main_pdbbind.py one epoch (the complete C15 + C18 pipeline)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    data_dir = tmp_path / "data" / "PDBbind"
+    for split, names in (("refined-set", ["1abc", "2xyz", "3pqr"]),
+                         ("core-set", ["3pqr"])):
+        for name in names:
+            d = data_dir / split / name
+            os.makedirs(d, exist_ok=True)
+            (d / f"{name}_ligand.mol2").write_text(ETHANOLAMINE_MOL2)
+            (d / f"{name}_pocket.mol2").write_text(BENZENE_MOL2)
+    os.makedirs(data_dir / "refined-set" / "index", exist_ok=True)
+    (data_dir / "refined-set" / "index" / "INDEX_refined_data.2016").write_text(
+        "# header\n"
+        "1abc  2.00  2016  6.42  Kd=380nM  // ref\n"
+        "2xyz  1.80  2016  5.11  Ki=7.7uM  // ref\n"
+        "3pqr  2.20  2016  4.50  Kd=32uM   // ref\n"
+    )
+    env = {**os.environ, "PYTHONPATH": repo}
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "preprocess_pdbbind.py"),
+         "--data_dir", str(data_dir)],
+        capture_output=True, text=True, timeout=200, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    # core-set -> test; refined minus core -> train_val (reference :185-188).
+    from pamnet_tpu.data.tu import TUDataset
+
+    train_val = TUDataset(str(data_dir), "train_val")
+    test = TUDataset(str(data_dir), "test")
+    assert len(train_val) == 2 and len(test) == 1
+    mol = test[0]
+    assert mol["feat"].shape[1] == 18
+    assert mol["y"] == pytest.approx(4.50, abs=1e-2)
+
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(repo, "main_pdbbind.py"),
+         "--platform", "cpu", "--epochs", "1", "--dim", "8", "--n_layer", "1",
+         "--batch_size", "2", "--data_root", str(data_dir)],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert r2.returncode == 0, r2.stderr[-1500:]
+    assert "Testing RMSE" in r2.stdout
+
+
 def test_pdbbind_build_complex(tmp_path):
     from preprocess_pdbbind import build_complex  # repo root import
 
