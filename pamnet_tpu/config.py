@@ -53,6 +53,12 @@ class PAMNetConfig:
     # K-sum, for both forward segment-sums and gather backwards.  Used when
     # the GraphBatch carries tables; exact same math.
     scatter_free: bool = True
+    # Roll the n_layer plex loop into a lax.scan over stacked layer params:
+    # one compiled layer body instead of n_layer unrolled copies (same math,
+    # ~15% faster compiles). Same-process A/B on v5e measured the unrolled
+    # loop ~45% faster at the QM9 recipe (3.16 vs 4.61 ms/step), so this is
+    # opt-in for compile-time-sensitive uses.
+    scan_layers: bool = False
 
     def __post_init__(self):
         if self.flow not in ("source_to_target", "target_to_source"):

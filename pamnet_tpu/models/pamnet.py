@@ -172,6 +172,38 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
     # ---- plex loop (reference: models.py:196-204) ----
     outs_g, atts_g, outs_l, atts_l = [], [], [], []
     tables = g.tables if (cfg.scatter_free and g.tables is not None) else None
+
+    if cfg.scan_layers and cfg.n_layer > 1:
+        def body(x, layer_params):
+            gp, lp = layer_params
+            x, out_g, att_g = L.global_mp(
+                gp, x, edge_attr_rbf_g, g.eg_src, g.eg_dst, eg_mask, cfg.flow,
+                num_nodes, tables=tables,
+            )
+            if use_two_hop:
+                x, out_l, att_l = L.local_mp(
+                    lp, x, edge_attr_rbf_l, edge_attr_sbf2, edge_attr_sbf1,
+                    g.t2_kj, g.t2_ji, t2_mask, g.t1_jj, g.t1_ji, t1_mask,
+                    g.el_src, g.el_dst, el_mask, num_nodes,
+                    use_pallas=cfg.use_pallas_triplet, tables=tables,
+                )
+            else:
+                x, out_l, att_l = L.local_mp_s(
+                    lp, x, edge_attr_rbf_l, edge_attr_sbf,
+                    g.t1_jj, g.t1_ji, t1_mask,
+                    g.el_src, g.el_dst, el_mask, num_nodes, tables=tables,
+                )
+            return x, (out_g[..., 0], att_g[..., 0], out_l[..., 0], att_l[..., 0])
+
+        g_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *params["global_layers"])
+        l_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *params["local_layers"])
+        x, (og, ag, ol, al) = jax.lax.scan(body, x, (g_stack, l_stack))
+        att = jnp.stack([ag, al], axis=-1)  # (L, N, 2)
+        att = jax.nn.softmax(jax.nn.leaky_relu(att, 0.2), axis=-1)
+        out = jnp.stack([og, ol], axis=-1)
+        node_out = (out * att).sum(-1).sum(0).astype(jnp.float32)
+        return _pool(node_out, g, cfg, pos)
+
     for layer in range(cfg.n_layer):
         x, out_g, att_g = L.global_mp(
             params["global_layers"][layer],
@@ -212,8 +244,12 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
         [jnp.stack(outs_g, 0)[..., 0], jnp.stack(outs_l, 0)[..., 0]], axis=-1
     )  # (L, N, 2)
     node_out = (out * att).sum(-1).sum(0).astype(jnp.float32)  # (N,)
+    return _pool(node_out, g, cfg, pos)
 
-    # ---- pooling (reference: models.py:215-224) ----
+
+def _pool(node_out, g: GraphBatch, cfg: PAMNetConfig, pos):
+    """Dataset-specific graph pooling (reference: models.py:215-224)."""
+    kind = cfg.dataset_kind
     node_out = node_out * g.node_mask
     if kind == "qm9":
         pooled = segment_sum(node_out, g.node_graph, g.y.shape[0])

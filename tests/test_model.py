@@ -146,6 +146,28 @@ def test_pamnet_s_variant(rng):
     assert "mlp_m_jj" in params["local_layers"][0]
 
 
+def test_scan_layers_matches_unrolled(rng):
+    import dataclasses
+
+    mols = _mols_qm9(rng)
+    cfg_unrolled = dataclasses.replace(CFG_QM9, n_layer=3)
+    cfg_scan = dataclasses.replace(cfg_unrolled, scan_layers=True)
+    gb = build_graph_batch(mols, "qm9", 5.0, 5.0)
+    gb = jax.tree.map(jnp.asarray, gb)
+    params = init_pamnet(jax.random.PRNGKey(5), cfg_unrolled)
+    out_a = np.asarray(apply_pamnet(params, gb, cfg_unrolled))
+    out_b = np.asarray(apply_pamnet(params, gb, cfg_scan))
+    np.testing.assert_allclose(out_b, out_a, rtol=2e-5, atol=1e-5)
+
+    def loss(p, cfg):
+        return jnp.sum(jnp.abs(apply_pamnet(p, gb, cfg) - gb.y) * gb.graph_mask)
+
+    ga = jax.grad(lambda p: loss(p, cfg_unrolled))(params)
+    gs = jax.grad(lambda p: loss(p, cfg_scan))(params)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5)
+
+
 def test_bfloat16_compute_close_to_f32(rng):
     import dataclasses
 
