@@ -92,8 +92,11 @@ def main():
     args = parser.parse_args()
 
     set_seed(args.seed)
-    from pamnet_tpu.utils.runtime import set_matmul_precision, set_platform
+    from pamnet_tpu.utils.runtime import (
+        ensure_devices, set_matmul_precision, set_platform,
+    )
     set_platform(args.platform)
+    ensure_devices(args.dp)
     enable_compilation_cache()
     set_matmul_precision(args.precision)
 

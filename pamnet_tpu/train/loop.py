@@ -159,6 +159,11 @@ def make_eval_step(cfg: PAMNetConfig):
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"mesh needs {n_devices} devices, have {len(devs)} "
+                "(on CPU set jax_num_cpu_devices first)"
+            )
         devs = devs[:n_devices]
     import numpy as np
 

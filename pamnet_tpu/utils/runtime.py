@@ -38,6 +38,17 @@ def set_platform(platform: str) -> None:
         jax.config.update("jax_platforms", platform)
 
 
+def ensure_devices(n: int) -> None:
+    """Provide at least n devices (virtualizes CPU devices when on CPU)."""
+    import jax
+
+    if n > 1 and jax.config.jax_platforms == "cpu":
+        try:
+            jax.config.update("jax_num_cpu_devices", max(n, 1))
+        except Exception:
+            pass  # backends already initialized
+
+
 def set_matmul_precision(precision: str) -> None:
     """Global MXU precision: "default" (bf16 inputs, fastest), "float32"
     (a.k.a. highest; needed for checkpoint-reproduction parity — bf16 shifts

@@ -96,6 +96,18 @@ def test_main_qm9_smoke_and_resume(tmp_path):
     assert "Resumed full train state" in r2.stdout
 
 
+def test_main_qm9_data_parallel(tmp_path):
+    """--dp 2 on the virtual CPU mesh: the driver's shard_map path."""
+    r = _run(
+        [os.path.join(REPO, "main_qm9.py"), "--platform", "cpu", "--synthetic",
+         "--limit", "64", "--epochs", "1", "--dim", "8", "--n_layer", "1",
+         "--batch_size", "4", "--dp", "2"],
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Best Validation MAE" in r.stdout
+
+
 def test_inference_driver_csv_contract(tmp_path, rng):
     """inference_rna_puzzles.py end-to-end on a tiny generated dataset with
     the real reference checkpoint (dim=16, n_layer=1), checking the CSV
