@@ -23,17 +23,6 @@ import numpy as np
 from pamnet_tpu.utils.runtime import enable_compilation_cache, set_seed
 
 
-def evaluate(eval_step, params, loader, to_device):
-    """Sum-abs-error / n_molecules (reference: main_qm9.py:29-37)."""
-    total, count = 0.0, 0
-    for gb in loader.prefetch():
-        pred = np.asarray(eval_step(params, to_device(gb)))
-        mask = np.asarray(gb.graph_mask) > 0
-        total += float(np.abs(pred[mask] - np.asarray(gb.y)[mask]).sum())
-        count += int(mask.sum())
-    return total / max(count, 1)
-
-
 class StackedEval:
     """Pre-staged one-dispatch evaluation over a whole split (batches are
     static; stacking them once removes per-batch dispatch latency)."""
@@ -108,7 +97,7 @@ def main():
     from pamnet_tpu.models import count_parameters, init_pamnet
     from pamnet_tpu.train.checkpoint import save_checkpoint
     from pamnet_tpu.train.loop import (
-        init_train_state, make_dp_train_step, make_eval_step, make_mesh,
+        init_train_state, make_dp_train_step, make_mesh,
         make_optimizer, make_train_step, stack_microbatches,
     )
     from pamnet_tpu.train.schedules import warmup_exponential
