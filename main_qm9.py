@@ -78,6 +78,8 @@ def main():
     parser.add_argument('--trace_dir', type=str, default='',
                         help='Capture a jax.profiler device trace of epoch 0 '
                              'into this directory')
+    parser.add_argument('--metrics_csv', type=str, default='',
+                        help='Append per-epoch metrics to this CSV file')
     args = parser.parse_args()
 
     set_seed(args.seed)
@@ -181,7 +183,14 @@ def main():
     best_val_loss, test_loss = None, float('nan')
     import contextlib
 
-    from pamnet_tpu.utils.profiling import trace
+    from pamnet_tpu.utils.profiling import CSVLogger, trace
+
+    metrics_log = (
+        CSVLogger(args.metrics_csv,
+                  ["epoch", "train_mae", "val_mae", "test_mae", "seconds",
+                   "mol_per_sec"])
+        if args.metrics_csv else None
+    )
 
     for epoch in range(args.epochs):
         tracing = trace(args.trace_dir) if (args.trace_dir and epoch == 0) \
@@ -228,6 +237,11 @@ def main():
         print(f'Epoch: {epoch+1:03d}, Train MAE: {train_loss:.7f}, '
               f'Val MAE: {val_loss:.7f}, Test MAE: {test_loss:.7f} '
               f'({dt:.1f}s, {nb*per_step/dt:.0f} mol/s)')
+        if metrics_log:
+            metrics_log.log(epoch=epoch + 1, train_mae=train_loss,
+                            val_mae=val_loss, test_mae=test_loss,
+                            seconds=round(dt, 2),
+                            mol_per_sec=round(nb * per_step / dt, 1))
     print('Best Validation MAE:', best_val_loss)
     print('Testing MAE:', test_loss)
 
