@@ -82,6 +82,11 @@ class GraphBatch(NamedTuple):
     sbf_radial: np.ndarray | None = None
     cbf2: np.ndarray | None = None
     cbf1: np.ndarray | None = None
+    # Host-precomputed edge distances (geometry-only): the on-device
+    # pos-gathers for 1M+-edge graphs write (E, 3) arrays that tile-pad to
+    # 128 lanes (42x traffic); distances are f64-exact from the host.
+    dist_g: np.ndarray | None = None
+    dist_l: np.ndarray | None = None
 
     @property
     def num_nodes(self) -> int:
@@ -230,6 +235,7 @@ def precompute_structure(
         }
     t1 = graphbuild.pairs_np(el, n)
 
+    p64 = pos.astype(np.float64)
     s = {
         "pos": pos,
         "y": np.float32(mol["y"]),
@@ -237,6 +243,8 @@ def precompute_structure(
         "el": el.astype(np.int32),
         "t2": t2,
         "t1": t1,
+        "dist_g": np.sqrt(((p64[eg[1]] - p64[eg[0]]) ** 2).sum(-1)).astype(np.float32),
+        "dist_l": np.sqrt(((p64[el[1]] - p64[el[0]]) ** 2).sum(-1)).astype(np.float32),
     }
     if dataset_kind == "pdbbind":
         s["feat"] = np.asarray(mol["feat"], np.float32)
@@ -439,6 +447,9 @@ def _assemble(structs, pads, z, feat, pos, node_graph, eg, el, t2, t1, y, tables
             cbf2=_pad1(np.concatenate([s["cbf2"] for s in structs]), pads.t2),
             cbf1=_pad1(np.concatenate([s["cbf1"] for s in structs]), pads.t1),
         )
+    if all("dist_g" in s for s in structs):
+        basis["dist_g"] = _pad1(np.concatenate([s["dist_g"] for s in structs]), pads.eg)
+        basis["dist_l"] = _pad1(np.concatenate([s["dist_l"] for s in structs]), pads.el)
     return GraphBatch(
         tables=tables,
         **basis,
