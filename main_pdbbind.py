@@ -20,15 +20,23 @@ from pamnet_tpu.utils.runtime import (
 REFERENCE_ROOT = os.environ.get("PAMNET_REFERENCE_ROOT", "/root/reference")
 
 
-def evaluate(eval_step, params, loader, to_device):
-    preds, ys = [], []
-    for gb in loader.prefetch():
-        pred = np.asarray(eval_step(params, to_device(gb)))
-        mask = np.asarray(gb.graph_mask) > 0
-        preds.append(pred[mask])
-        ys.append(np.asarray(gb.y)[mask])
-    preds, ys = np.concatenate(preds), np.concatenate(ys)
-    return rmse(ys, preds), mae(ys, preds), sd(ys, preds), pearson(ys, preds)
+class StackedEval:
+    """Pre-staged one-dispatch evaluation returning the PDBbind metric quad
+    RMSE/MAE/SD/Pearson (reference: main_pdbbind.py:25-39)."""
+
+    def __init__(self, eval_run, loader, to_device):
+        from pamnet_tpu.train.loop import stack_microbatches
+
+        batches = [to_device(gb) for gb in loader]
+        self.stacked = stack_microbatches(batches)
+        self.mask = np.concatenate([np.asarray(b.graph_mask) for b in batches]) > 0
+        self.y = np.concatenate([np.asarray(b.y) for b in batches])
+        self.run = eval_run
+
+    def __call__(self, params):
+        preds = np.asarray(self.run(params, self.stacked)).reshape(-1)[self.mask]
+        y = self.y[self.mask]
+        return rmse(y, preds), mae(y, preds), sd(y, preds), pearson(y, preds)
 
 
 def main():
@@ -64,7 +72,7 @@ def main():
     from pamnet_tpu.data.tu import TUDataset
     from pamnet_tpu.models import count_parameters, init_pamnet
     from pamnet_tpu.train.loop import (
-        init_train_state, make_eval_step, make_optimizer, make_train_step,
+        init_train_state, make_multistep_eval, make_optimizer, make_train_step,
     )
     from pamnet_tpu.train.schedules import multistep
 
@@ -100,10 +108,14 @@ def main():
     )
     state = init_train_state(params, optimizer, use_ema=False)
     step_fn = make_train_step(cfg, optimizer, "mse", ema_decay=None)
-    eval_step = make_eval_step(cfg)
+    eval_run = make_multistep_eval(cfg)
 
     def to_device(gb):
         return jax.tree.map(jnp.asarray, gb)
+
+    train_eval = StackedEval(eval_run, train_loader, to_device)
+    val_eval = StackedEval(eval_run, val_loader, to_device)
+    test_eval = StackedEval(eval_run, test_loader, to_device)
 
     print("Start training!")
     best_val_rmse = None
@@ -112,10 +124,10 @@ def main():
         t0 = time.time()
         for gb in train_loader.prefetch():
             state, loss = step_fn(state, to_device(gb))
-        train_m = evaluate(eval_step, state.params, train_loader, to_device)
-        val_m = evaluate(eval_step, state.params, val_loader, to_device)
+        train_m = train_eval(state.params)
+        val_m = val_eval(state.params)
         if best_val_rmse is None or val_m[0] < best_val_rmse:
-            test_metrics = evaluate(eval_step, state.params, test_loader, to_device)
+            test_metrics = test_eval(state.params)
             best_val_rmse = val_m[0]
         print(f'Epoch: {epoch+1:03d}, Train RMSE: {train_m[0]:.7f}, '
               f'Train MAE: {train_m[1]:.7f}, Train SD: {train_m[2]:.7f}, '

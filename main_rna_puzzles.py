@@ -24,15 +24,22 @@ def smooth_l1(pred, y):
     return float(np.where(a < 1.0, 0.5 * a * a, a - 0.5).mean())
 
 
-def evaluate(eval_step, params, loader, to_device):
-    preds, ys = [], []
-    for gb in loader.prefetch():
-        pred = np.asarray(eval_step(params, to_device(gb)))
-        mask = np.asarray(gb.graph_mask) > 0
-        preds.append(pred[mask])
-        ys.append(np.asarray(gb.y)[mask])
-    preds, ys = np.concatenate(preds), np.concatenate(ys)
-    return smooth_l1(preds, ys), preds
+class StackedEval:
+    """Pre-staged one-dispatch evaluation (batches are static; a single
+    lax.scan dispatch replaces per-batch host round-trips)."""
+
+    def __init__(self, eval_run, loader, to_device):
+        from pamnet_tpu.train.loop import stack_microbatches
+
+        batches = [to_device(gb) for gb in loader]
+        self.stacked = stack_microbatches(batches)
+        self.mask = np.concatenate([np.asarray(b.graph_mask) for b in batches]) > 0
+        self.y = np.concatenate([np.asarray(b.y) for b in batches])
+        self.run = eval_run
+
+    def __call__(self, params):
+        preds = np.asarray(self.run(params, self.stacked)).reshape(-1)
+        return smooth_l1(preds[self.mask], self.y[self.mask]), preds[self.mask]
 
 
 def main():
@@ -71,7 +78,7 @@ def main():
     from pamnet_tpu.models import count_parameters, init_pamnet
     from pamnet_tpu.train.checkpoint import save_checkpoint
     from pamnet_tpu.train.loop import (
-        init_train_state, make_eval_step, make_optimizer, make_train_step,
+        init_train_state, make_optimizer, make_train_step,
     )
     from pamnet_tpu.train.schedules import constant
 
@@ -100,10 +107,14 @@ def main():
     optimizer = make_optimizer(constant(args.lr), weight_decay=args.wd)
     state = init_train_state(params, optimizer, use_ema=False)
     step_fn = make_train_step(cfg, optimizer, "smooth_l1", ema_decay=None)
-    eval_step = make_eval_step(cfg)
+    from pamnet_tpu.train.loop import make_multistep_eval
+    eval_run = make_multistep_eval(cfg)
 
     def to_device(gb):
         return jax.tree.map(jnp.asarray, gb)
+
+    train_eval = StackedEval(eval_run, train_loader, to_device)
+    val_eval = StackedEval(eval_run, val_loader, to_device)
 
     os.makedirs(osp.join('.', 'save'), exist_ok=True)
     print("Start training!")
@@ -112,8 +123,8 @@ def main():
         t0 = time.time()
         for gb in train_loader.prefetch():
             state, loss = step_fn(state, to_device(gb))
-        train_loss, _ = evaluate(eval_step, state.params, train_loader, to_device)
-        val_loss, _ = evaluate(eval_step, state.params, val_loader, to_device)
+        train_loss, _ = train_eval(state.params)
+        val_loss, _ = val_eval(state.params)
         print(f'Epoch: {epoch+1:03d}, Train Loss: {train_loss:.7f}, '
               f'Val Loss: {val_loss:.7f} ({time.time()-t0:.1f}s)')
         if best_val_loss is None or val_loss < best_val_loss:
