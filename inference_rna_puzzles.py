@@ -66,7 +66,7 @@ def main():
     from pamnet_tpu.data.loader import GraphLoader
     from pamnet_tpu.data.tu import TUDataset
     from pamnet_tpu.models import apply_pamnet
-    from pamnet_tpu.train.checkpoint import load_checkpoint, load_torch_checkpoint
+    from pamnet_tpu.train.checkpoint import load_params, load_torch_checkpoint
     from pamnet_tpu.models import init_pamnet
 
     data_root = args.data_root or resolve_path(
@@ -88,8 +88,10 @@ def main():
     if args.saved_model.endswith('.pt'):
         params = load_torch_checkpoint(ckpt_path)
     else:
+        # Native checkpoints may be a full train state (driver saves) or
+        # bare parameters; load_params handles both.
         template = init_pamnet(jax.random.PRNGKey(0), cfg)
-        params = load_checkpoint(ckpt_path, template)
+        params = load_params(ckpt_path, template)
     print(f"Model loaded from {ckpt_path}. Start prediction!")
 
     loader = GraphLoader(

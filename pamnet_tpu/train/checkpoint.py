@@ -132,3 +132,16 @@ def load_checkpoint(path: str, template):
 
     with open(path, "rb") as f:
         return serialization.from_bytes(template, f.read())
+
+
+def load_params(path: str, params_template):
+    """Restore just the model parameters from a native checkpoint, whether it
+    holds a full train state (params+opt+EMA+step, as the drivers save) or a
+    bare parameter tree — the inference-side loader."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    if isinstance(raw, dict) and "params" in raw and "opt_state" in raw:
+        raw = raw["params"]
+    return serialization.from_state_dict(params_template, raw)

@@ -133,6 +133,31 @@ def test_inference_driver_csv_contract(tmp_path, rng):
     assert all(np.isfinite(float(row["PAMNet"])) for row in rows)
 
 
+def test_train_then_infer_native_checkpoint(tmp_path, rng):
+    """Train RNA (saves a full-train-state msgpack), then run inference with
+    that native checkpoint (the load_params full-state/bare-params path)."""
+    root = str(tmp_path / "data" / "RNA-Puzzles")
+    write_tu_dataset(root, "train", _rna_graphs(rng, 4))
+    write_tu_dataset(root, "val", _rna_graphs(rng, 2))
+    write_tu_dataset(root, "rna_toy", _rna_graphs(rng, 3, with_names=True))
+    r = _run(
+        [os.path.join(REPO, "main_rna_puzzles.py"), "--platform", "cpu",
+         "--epochs", "1", "--dim", "8", "--n_layer", "1", "--batch_size", "4",
+         "--data_root", root],
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    r2 = _run(
+        [os.path.join(REPO, "inference_rna_puzzles.py"), "--platform", "cpu",
+         "--dataset", "rna_toy", "--batch_size", "2",
+         "--saved_model", "pamnet_rna_best.msgpack",
+         "--dim", "8", "--n_layer", "1", "--data_root", root],
+        cwd=str(tmp_path),
+    )
+    assert r2.returncode == 0, r2.stderr[-1500:]
+    assert (tmp_path / "rna_puzzles_predictions" / "rna_toy.csv").exists()
+
+
 def test_tu_writer_roundtrip(tmp_path, rng):
     from pamnet_tpu.data.tu import TUDataset
 
