@@ -21,7 +21,7 @@ def params_to_torch_state_dict(params: dict) -> "dict[str, object]":
     out: "collections.OrderedDict[str, torch.Tensor]" = collections.OrderedDict()
 
     def tensor(x, transpose=False):
-        a = np.asarray(x)
+        a = np.array(x)  # copy: jax arrays are non-writable numpy views
         if transpose:
             a = a.T
         return torch.from_numpy(np.ascontiguousarray(a))
