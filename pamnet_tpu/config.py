@@ -59,6 +59,11 @@ class PAMNetConfig:
     # loop ~45% faster at the QM9 recipe (3.16 vs 4.61 ms/step), so this is
     # opt-in for compile-time-sensitive uses.
     scan_layers: bool = False
+    # Lane-pack the global layer's edge pipeline when dim < 128 (folds
+    # 128//dim edges into one lane row; ops/packing.py).  Measured slower on
+    # v5e (XLA already fuses the unpacked chain; relayouts dominate) — kept
+    # opt-in for future layouts.
+    lane_pack: bool = False
 
     def __post_init__(self):
         if self.flow not in ("source_to_target", "target_to_source"):

@@ -66,7 +66,7 @@ def _gath(x, idx, tables, key):
 
 
 def global_mp(p, x, edge_attr, src, dst, e_mask, flow: str, num_nodes: int,
-              tables: dict | None = None):
+              tables: dict | None = None, lane_pack: bool = False):
     """One global-plex layer (reference: global_message_passing.py:33-56).
 
     ``flow`` chooses which endpoint receives messages: ``source_to_target``
@@ -98,9 +98,25 @@ def global_mp(p, x, edge_attr, src, dst, e_mask, flow: str, num_nodes: int,
     xj_proj = x @ w[dim : 2 * dim]
     x_i = _gath(xi_proj, i_idx, tables, ti)
     x_j = _gath(xj_proj, j_idx, tables, tj)
-    m = nn.silu(x_i + x_j + edge_attr @ w[2 * dim :] + b)
-    m = m * nn.linear(p["W_edge_attr"], edge_attr)
-    m = m * e_mask[:, None]
+    from pamnet_tpu.ops import packing
+
+    pf = packing.pack_factor(dim) if lane_pack else 1
+    if pf > 1 and edge_attr.shape[0] % pf == 0:
+        # Lane-packed edge pipeline for narrow dims (docs/DESIGN.md section 4):
+        # the elementwise chain runs at full 128-lane utilization; unpack
+        # before aggregation (whose indices address individual edges).
+        e_p = packing.pack(edge_attr, pf)
+        pre = packing.pack(x_i + x_j, pf) + packing.packed_linear(
+            e_p, w[2 * dim :], b, pf
+        )
+        w_e = p["W_edge_attr"]["w"].astype(edge_attr.dtype)
+        m_p = nn.silu(pre) * (e_p @ packing.packed_weight(w_e, pf))
+        m_p = m_p * packing.pack_mask(e_mask, dim, pf).astype(m_p.dtype)
+        m = packing.unpack(m_p, pf)
+    else:
+        m = nn.silu(x_i + x_j + edge_attr @ w[2 * dim :] + b)
+        m = m * nn.linear(p["W_edge_attr"], edge_attr)
+        m = m * e_mask[:, None]
     x = x + _agg(m, agg_idx, e_mask, num_nodes, tables, t_agg)
     x = nn.mlp(p["mlp_x2"], x)
 

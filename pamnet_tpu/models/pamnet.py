@@ -184,7 +184,7 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
             gp, lp = layer_params
             x, out_g, att_g = L.global_mp(
                 gp, x, edge_attr_rbf_g, g.eg_src, g.eg_dst, eg_mask, cfg.flow,
-                num_nodes, tables=tables,
+                num_nodes, tables=tables, lane_pack=cfg.lane_pack,
             )
             if use_two_hop:
                 x, out_l, att_l = L.local_mp(
@@ -214,7 +214,7 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
         x, out_g, att_g = L.global_mp(
             params["global_layers"][layer],
             x, edge_attr_rbf_g, g.eg_src, g.eg_dst, eg_mask, cfg.flow, num_nodes,
-            tables=tables,
+            tables=tables, lane_pack=cfg.lane_pack,
         )
         outs_g.append(out_g)
         atts_g.append(att_g)

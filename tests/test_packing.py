@@ -58,3 +58,27 @@ def test_pack_factor_wide_dim():
     assert pack_factor(128) == 1
     assert pack_factor(256) == 1  # wider than lanes: no packing
     assert pack_factor(32) == 4
+
+
+def test_model_lane_pack_equivalence(rng):
+    """Full RNA-kind model: lane_pack on == off (values)."""
+    import dataclasses
+
+    from pamnet_tpu.config import PAMNetConfig
+    from pamnet_tpu.data.batch import build_graph_batch
+    from pamnet_tpu.models import apply_pamnet, init_pamnet
+
+    cfg = PAMNetConfig(dataset="rna_x", dim=16, n_layer=1, cutoff_l=2.6,
+                       cutoff_g=8.0, flow="target_to_source")
+    mols = [
+        dict(z=rng.integers(0, 3, 30).astype(np.int32),
+             pos=(rng.random((30, 3)) * 8).astype(np.float32),
+             y=float(rng.random()))
+        for _ in range(2)
+    ]
+    gb = jax.tree.map(jnp.asarray, build_graph_batch(mols, "rna", 2.6, 8.0))
+    params = init_pamnet(jax.random.PRNGKey(9), cfg)
+    out_off = np.asarray(apply_pamnet(params, gb, cfg))
+    cfg_on = dataclasses.replace(cfg, lane_pack=True)
+    out_on = np.asarray(apply_pamnet(params, gb, cfg_on))
+    np.testing.assert_allclose(out_on, out_off, rtol=2e-5, atol=1e-5)
