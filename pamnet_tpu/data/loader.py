@@ -128,7 +128,8 @@ class GraphLoader:
 
     def prefetch(self, depth: int = 2):
         """Iterate with a background collation thread (overlaps host batch
-        assembly with device compute)."""
+        assembly with device compute).  Worker exceptions re-raise in the
+        consumer — a silently truncated epoch would corrupt training."""
         q: queue.Queue = queue.Queue(maxsize=depth)
         stop = object()
 
@@ -136,8 +137,9 @@ class GraphLoader:
             try:
                 for gb in self:
                     q.put(gb)
-            finally:
                 q.put(stop)
+            except BaseException as e:  # noqa: BLE001 - relayed to consumer
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -145,4 +147,6 @@ class GraphLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

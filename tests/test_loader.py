@@ -54,6 +54,19 @@ def test_prefetch_equivalent_to_iter(rng):
         np.testing.assert_array_equal(gb_a.y, gb_b.y)
 
 
+def test_prefetch_propagates_worker_errors(rng):
+    from pamnet_tpu.data.batch import PadSizes
+
+    mols = _mols(rng, 6)
+    tiny = PadSizes(n=8, eg=8, el=8, t2=8, t1=8, g=8)  # guaranteed overflow
+    loader = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=3, pads=tiny)
+    try:
+        list(loader.prefetch())
+        raise AssertionError("expected padding overflow to propagate")
+    except ValueError as e:
+        assert "overflow" in str(e)
+
+
 def test_drop_last(rng):
     loader = GraphLoader(_mols(rng, 10), "qm9", 5.0, 5.0, batch_size=4,
                          drop_last=True)
