@@ -207,6 +207,11 @@ def main():
                         state, loss = step_fn(state, stack_microbatches(group))
                         loss_sum += float(loss); nb += 1
                         group = []
+                if group:  # trailing partial device group, stepped singly
+                    single = make_train_step(cfg, optimizer, "l1", ema_decay=0.999)
+                    for gb in group:
+                        state, loss = single(state, gb)
+                        loss_sum += float(loss); nb += 1
             elif scan_steps > 1:
                 group = []
                 for gb in it:
