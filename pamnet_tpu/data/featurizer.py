@@ -13,10 +13,17 @@ consumed by models.py:35 ``init_linear(18, dim)``):
 
 The five SMARTS flags are re-implemented *semantically* on the parsed mol2
 graph instead of via a SMARTS engine; the definitions below document the
-intended chemistry of each reference pattern.  Partial charges come from the
-mol2 file rather than being recomputed, and formal charges are approximated
-as neutral (mol2 carries no formal charges) — differences are confined to
-rare charged species and are documented here for auditability.
+intended chemistry of each reference pattern.  Documented approximations:
+
+* partial charges come from the mol2 file (PDBbind ships Gasteiger-style
+  charges) rather than being recomputed;
+* formal charges are approximated as neutral (mol2 carries none) — affects
+  only the *+1/*+2/*+3 exclusions of the acceptor pattern and the anion
+  exclusions of the donor pattern for rare charged species;
+* the donor test counts *explicit* hydrogens (PDBbind mol2 files are
+  protonated, so this matches OpenBabel's implicit+explicit H count there);
+* hybridization comes from the SYBYL type suffix rather than OpenBabel's
+  perception (exotic types default to sp3).
 """
 
 from __future__ import annotations

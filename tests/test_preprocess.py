@@ -104,6 +104,75 @@ def test_featurizer_ethanolamine(tmp_path):
     assert f_n["ring"] == 0.0
 
 
+PYRIDINE_MOL2 = """\
+@<TRIPOS>MOLECULE
+pyridine
+11 11 1
+SMALL
+GASTEIGER
+@<TRIPOS>ATOM
+  1 N1  0.000  1.338  0.000 N.ar 1 PYR -0.35
+  2 C2  1.144  0.720  0.000 C.ar 1 PYR  0.08
+  3 C3  1.194 -0.670  0.000 C.ar 1 PYR -0.06
+  4 C4  0.000 -1.378  0.000 C.ar 1 PYR -0.05
+  5 C5 -1.194 -0.670  0.000 C.ar 1 PYR -0.06
+  6 C6 -1.144  0.720  0.000 C.ar 1 PYR  0.08
+  7 H2  2.060  1.300  0.000 H    1 PYR  0.06
+  8 H3  2.150 -1.190  0.000 H    1 PYR  0.06
+  9 H4  0.000 -2.460  0.000 H    1 PYR  0.06
+ 10 H5 -2.150 -1.190  0.000 H    1 PYR  0.06
+ 11 H6 -2.060  1.300  0.000 H    1 PYR  0.06
+@<TRIPOS>BOND
+  1  1  2 ar
+  2  2  3 ar
+  3  3  4 ar
+  4  4  5 ar
+  5  5  6 ar
+  6  6  1 ar
+  7  2  7 1
+  8  3  8 1
+  9  4  9 1
+ 10  5 10 1
+ 11  6 11 1
+"""
+
+WATER_MOL2 = """\
+@<TRIPOS>MOLECULE
+water
+3 2 1
+SMALL
+GASTEIGER
+@<TRIPOS>ATOM
+  1 O1  0.000  0.000  0.000 O.3 1 HOH -0.66
+  2 H1  0.960  0.000  0.000 H   1 HOH  0.33
+  3 H2 -0.240  0.930  0.000 H   1 HOH  0.33
+@<TRIPOS>BOND
+  1 1 2 1
+  2 1 3 1
+"""
+
+
+def test_featurizer_pyridine_and_water(tmp_path):
+    p = tmp_path / "pyr.mol2"
+    p.write_text(PYRIDINE_MOL2)
+    _, feats = featurize_mol2(parse_mol2(str(p)))
+    f_n = dict(zip(FEATURE_NAMES, feats[0]))
+    # Aromatic ring nitrogen, no attached H: acceptor but not donor; the
+    # 2-connected aromatic n is NOT excluded by the reference acceptor
+    # pattern (only nX3 is; featurizer.py:127).
+    assert f_n["N"] == 1.0 and f_n["aromatic"] == 1.0 and f_n["ring"] == 1.0
+    assert f_n["acceptor"] == 1.0 and f_n["donor"] == 0.0
+    assert f_n["hyb"] == 2.0
+
+    w = tmp_path / "wat.mol2"
+    w.write_text(WATER_MOL2)
+    _, feats_w = featurize_mol2(parse_mol2(str(w)))
+    f_o = dict(zip(FEATURE_NAMES, feats_w[0]))
+    assert f_o["O"] == 1.0
+    assert f_o["donor"] == 1.0 and f_o["acceptor"] == 1.0  # O-H donor
+    assert f_o["ring"] == 0.0 and f_o["hydrophobic"] == 0.0
+
+
 PDB_TEXT = """\
 ATOM      1  P     G A   1      10.000  10.000  10.000  1.00  0.00           P
 ATOM      2  C1'   G A   1      11.400  10.000  10.000  1.00  0.00           C
