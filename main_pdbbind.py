@@ -82,10 +82,13 @@ def main():
     )
     refined = TUDataset(data_root, 'train_val').molecules()
     core = TUDataset(data_root, 'test').molecules()
-    # Non-shuffled 90/10 split (reference: main_pdbbind.py:67 train_test_split
-    # with shuffle=False takes the first 90% as train; sklearn ceils the
-    # test fraction).
+    # The reference shuffles the refined set (main_pdbbind.py:62 .shuffle())
+    # and THEN splits 90/10 without re-shuffling (main_pdbbind.py:66
+    # train_test_split(shuffle=False); sklearn ceils the test fraction), so
+    # the val set is a random 10%, not the file-order tail.
     import math
+    perm = np.random.default_rng(args.seed).permutation(len(refined))
+    refined = [refined[i] for i in perm]
     n_train = len(refined) - math.ceil(len(refined) * 0.1)
     train_mols, val_mols = refined[:n_train], refined[n_train:]
     print(f"Data loaded! train={len(train_mols)} val={len(val_mols)} test={len(core)}")

@@ -136,7 +136,6 @@ def main():
     common = dict(dataset_kind='qm9', cutoff_l=cfg.cutoff_l, cutoff_g=cfg.cutoff_g,
                   variant=variant)
     dp = max(args.dp, 0)
-    per_step = args.batch_size * max(dp, 1)
     train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
                                shuffle=True, seed=args.seed, drop_last=True, **common)
     val_loader = GraphLoader(val_mols, batch_size=args.batch_size, pads=train_loader.pads, **common)
@@ -196,40 +195,53 @@ def main():
         tracing = trace(args.trace_dir) if (args.trace_dir and epoch == 0) \
             else contextlib.nullcontext()
         t0 = time.time()
-        loss_sum, nb = 0.0, 0
+        # Per-batch losses are means over valid graphs; weight them by the
+        # batch's valid-graph count so train MAE matches the reference's
+        # num_graphs-weighted accounting (main_qm9.py:109,119) even if batch
+        # sizes ever vary.
+        loss_sum, ng, nb = 0.0, 0.0, 0
+
+        def _count(gb):
+            return float(np.asarray(gb.graph_mask).sum())
+
         it = train_loader.prefetch()
         with tracing:
             if dp > 1:
-                group = []
+                group, gcount = [], 0.0
                 for gb in it:
+                    gcount += _count(gb)
                     group.append(to_device(gb))
                     if len(group) == dp:
                         state, loss = step_fn(state, stack_microbatches(group))
-                        loss_sum += float(loss); nb += 1
-                        group = []
+                        loss_sum += float(loss) * gcount; ng += gcount; nb += 1
+                        group, gcount = [], 0.0
                 if group:  # trailing partial device group, stepped singly
                     single = make_train_step(cfg, optimizer, "l1", ema_decay=0.999)
                     for gb in group:
+                        c = _count(gb)
                         state, loss = single(state, gb)
-                        loss_sum += float(loss); nb += 1
+                        loss_sum += float(loss) * c; ng += c; nb += 1
             elif scan_steps > 1:
-                group = []
+                group, counts = [], []
                 for gb in it:
+                    counts.append(_count(gb))
                     group.append(to_device(gb))
                     if len(group) == scan_steps:
                         state, losses = step_fn(state, stack_microbatches(group))
-                        loss_sum += float(losses.sum()); nb += len(group)
-                        group = []
+                        loss_sum += float(np.asarray(losses) @ np.asarray(counts))
+                        ng += sum(counts); nb += len(group)
+                        group, counts = [], []
                 if group:  # trailing partial block, stepped one by one
                     single = make_train_step(cfg, optimizer, "l1", ema_decay=0.999)
-                    for gb in group:
+                    for gb, c in zip(group, counts):
                         state, loss = single(state, gb)
-                        loss_sum += float(loss); nb += 1
+                        loss_sum += float(loss) * c; ng += c; nb += 1
             else:
                 for gb in it:
+                    c = _count(gb)
                     state, loss = step_fn(state, to_device(gb))
-                    loss_sum += float(loss); nb += 1
-        train_loss = loss_sum / max(nb, 1)
+                    loss_sum += float(loss) * c; ng += c; nb += 1
+        train_loss = loss_sum / max(ng, 1.0)
 
         # Eval under EMA weights (reference: main_qm9.py:29-37,120).
         val_loss = val_eval.mae(state.ema)
@@ -241,12 +253,12 @@ def main():
         dt = time.time() - t0
         print(f'Epoch: {epoch+1:03d}, Train MAE: {train_loss:.7f}, '
               f'Val MAE: {val_loss:.7f}, Test MAE: {test_loss:.7f} '
-              f'({dt:.1f}s, {nb*per_step/dt:.0f} mol/s)')
+              f'({dt:.1f}s, {ng/dt:.0f} mol/s)')
         if metrics_log:
             metrics_log.log(epoch=epoch + 1, train_mae=train_loss,
                             val_mae=val_loss, test_mae=test_loss,
                             seconds=round(dt, 2),
-                            mol_per_sec=round(nb * per_step / dt, 1))
+                            mol_per_sec=round(ng / dt, 1))
     print('Best Validation MAE:', best_val_loss)
     print('Testing MAE:', test_loss)
 

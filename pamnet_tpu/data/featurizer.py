@@ -64,7 +64,7 @@ def _hybridization(sybyl: str) -> int:
     if suffix in ("1",):
         return 1
     if suffix in ("2", "ar", "am", "co2", "pl3", "O2"):
-        return 2 if sybyl not in ("N.pl3",) else 2
+        return 2
     if suffix in ("3", "4", "o", "o2", "th", "t3"):
         return 3
     return 3

@@ -40,6 +40,9 @@ ATOM_TYPES = {"H": 0, "C": 1, "N": 2, "O": 3, "F": 4}
 
 # Per-atom reference energies (reference: qm9_dataset.py:29-48), indexed by
 # reordered target id (7=U0 ... 11=Cv table index differs; keys as reference).
+# Kept for parity with the reference's QM9.atomref() accessor
+# (qm9_dataset.py:134-141); like the reference, the training drivers never
+# consume it (targets 12-15 in the CSV are already atomization-corrected).
 ATOMREFS = {
     6: [0.0, 0.0, 0.0, 0.0, 0.0],
     7: [-13.61312172, -1029.86312267, -1485.30251237, -2042.61123593, -2713.48485589],
@@ -57,22 +60,39 @@ def remap_target(target: int) -> int:
 
 
 def parse_sdf_molecules(sdf_path: str):
-    """Yield (elements, pos, bonds) per molecule from a V2000 SDF file."""
+    """Yield (elements, pos, bonds) per molecule block from a V2000 SDF file.
+
+    Yields exactly ONE item per ``$$$$``-delimited block — ``None`` when the
+    block is unparseable or contains atoms outside ``ATOM_TYPES`` — so that
+    ``enumerate()`` over this generator tracks the raw block index and can
+    never desynchronize from the CSV target rows / skip list (the reference
+    enumerates the RDKit supplier the same way, qm9_dataset.py:203-205).
+    Whitespace-only trailing chunks (after the final ``$$$$``) are not blocks
+    and yield nothing.
+    """
     with open(sdf_path, "r") as f:
         text = f.read()
     for block in text.split("$$$$\n"):
         lines = block.splitlines()
+        if not any(ln.strip() for ln in lines):
+            continue  # trailing whitespace after the final $$$$, not a block
         if len(lines) < 4:
+            yield None
             continue
         counts = lines[3]
         try:
             na, nb = int(counts[0:3]), int(counts[3:6])
         except ValueError:
+            yield None
             continue
         elems, pos = [], []
         ok = True
         for line in lines[4 : 4 + na]:
-            x, y, z = float(line[0:10]), float(line[10:20]), float(line[20:30])
+            try:
+                x, y, z = float(line[0:10]), float(line[10:20]), float(line[20:30])
+            except (ValueError, IndexError):
+                ok = False
+                break
             sym = line[31:34].strip()
             if sym not in ATOM_TYPES:
                 ok = False
@@ -80,6 +100,7 @@ def parse_sdf_molecules(sdf_path: str):
             elems.append(ATOM_TYPES[sym])
             pos.append((x, y, z))
         if not ok:
+            yield None
             continue
         bonds = []
         for line in lines[4 + na : 4 + na + nb]:
@@ -137,10 +158,23 @@ def load_qm9(root: str, cache: bool = True) -> list[dict]:
     targets = load_targets(csv)
     skip = load_skip_list(unc)
     mols = []
-    for i, (z, pos, bonds) in enumerate(parse_sdf_molecules(sdf)):
+    dropped = 0
+    for i, parsed in enumerate(parse_sdf_molecules(sdf)):
+        if parsed is None:
+            dropped += 1
+            continue
         if i in skip:
             continue
+        z, pos, bonds = parsed
         mols.append(dict(z=z, pos=pos, edge_index=bonds, y=targets[i]))
+    if dropped:
+        import warnings
+
+        warnings.warn(
+            f"load_qm9: {dropped} SDF blocks were unparseable or contained "
+            "non-CHONF atoms and were dropped (labels stay aligned by block "
+            "index)."
+        )
     if cache:
         _save_cache(cache_path, mols)
     return mols

@@ -15,16 +15,11 @@ except ImportError:  # pragma: no cover
 from pamnet_tpu.config import PAMNetConfig
 from pamnet_tpu.data.batch import GraphBatch
 from pamnet_tpu.models import apply_pamnet
+from pamnet_tpu.train.loop import make_mesh  # canonical (validates count)
 
-
-def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
-    """1-D device mesh over the first n devices (ICI-contiguous order as
-    enumerated by jax; multi-host DCN spans work with the same code once
-    ``initialize_distributed`` has run on every host)."""
-    devs = jax.devices()
-    if n_devices is not None:
-        devs = devs[:n_devices]
-    return Mesh(np.array(devs), (axis,))
+__all__ = [
+    "make_mesh", "initialize_distributed", "shard_batch", "make_dp_eval_step",
+]
 
 
 def initialize_distributed(**kwargs) -> None:

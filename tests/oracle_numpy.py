@@ -121,60 +121,31 @@ def local_mp(sd, pre, x, rbf, sbf2, sbf1, t2, t1, src, dst):
     return x, linear(sd, pre + "W_out", out), att
 
 
-def angles(pos, a, b, c):
-    v1 = pos[b] - pos[a]
-    v2 = pos[c] - pos[b]
-    dot = np.sum(v1 * v2, -1)
-    cr = np.linalg.norm(np.cross(v1, v2), axis=-1)
-    return np.arctan2(cr, dot)
+def local_mp_s(sd, pre, x, rbf, sbf, t1, src, dst):
+    """One-hop-only local layer (reference: local_message_passing.py:69-123;
+    ``mlp_m_jj`` replaces ``mlp_m_kj``, single sbf stream)."""
+    res_x = x
+    x = mlp(sd, pre + "mlp_x1", x, 1)
+    m = np.concatenate([x[dst], x[src], rbf], -1)
+    m_ji = mlp(sd, pre + "mlp_m_ji", m, 1)
+    m_nb = mlp(sd, pre + "mlp_m_jj", m, 1) * linear(sd, pre + "lin_rbf", rbf)
+    m_other = m_nb[t1["idx_jj"]] * mlp(sd, pre + "mlp_sbf", sbf, 2)
+    m_other = scatter_add(m_other, t1["idx_ji"], m.shape[0])
+    m = m_ji + m_other
+    m = linear(sd, pre + "lin_rbf_out", rbf) * m
+    x = x + scatter_add(m, dst, x.shape[0])
+    x = mlp(sd, pre + "mlp_x2", x, 1)
+    x = res(sd, pre + "res1", x) + res_x
+    x = res(sd, pre + "res2", x)
+    x = res(sd, pre + "res3", x)
+    out = mlp(sd, pre + "mlp_out", x, 3)
+    att = out @ sd[pre + "W"].astype(np.float64)
+    return x, linear(sd, pre + "W_out", out), att
 
 
-def rna_forward(sd, mol, n_layer=1, cutoff_l=2.6, cutoff_g=20.0):
-    """Score one RNA molecule with the reference math, target_to_source flow
-    (reference: main_rna_puzzles.py:57, models.py:138-157,221)."""
-    pos = mol["pos"].astype(np.float64)
-    z = mol["z"].astype(np.int64)
-    n = pos.shape[0]
-
-    eknn = graphbuild.knn_graph_np(mol["pos"], 50, None)
-    eknn = graphbuild.remove_self_loops_np(eknn)
-    d = np.linalg.norm(pos[eknn[1]] - pos[eknn[0]], axis=-1)
-    eg = eknn[:, d <= cutoff_g]
-    el = eknn[:, d <= cutoff_l]
-    src, dst = el
-    dist_g = np.linalg.norm(pos[eg[1]] - pos[eg[0]], axis=-1)
-    dist_l = np.linalg.norm(pos[dst] - pos[src], axis=-1)
-
-    t2 = graphbuild.triplets_np(el, n)
-    t1 = graphbuild.pairs_np(el, n)
-    angle2 = angles(pos, t2["idx_i"], t2["idx_j"], t2["idx_k"])
-    angle1 = angles(pos, t1["idx_i"], t1["idx_j1"], t1["idx_j2"])
-
-    x = sd["embeddings"].astype(np.float64)[z]
-    rbf_l = bessel_rbf(sd, "rbf_l", dist_l, cutoff_l)
-    rbf_g = bessel_rbf(sd, "rbf_g", dist_g, cutoff_g)
-    sbf2 = spherical_basis(dist_l, angle2, t2["idx_kj"], cutoff_l)
-    sbf1 = spherical_basis(dist_l, angle1, t1["idx_jj"], cutoff_l)
-
-    ea_rbf_l = mlp(sd, "mlp_rbf_l", rbf_l, 1)
-    ea_rbf_g = mlp(sd, "mlp_rbf_g", rbf_g, 1)
-    ea_sbf2 = mlp(sd, "mlp_sbf2", sbf2, 1)
-    ea_sbf1 = mlp(sd, "mlp_sbf1", sbf1, 1)
-
-    outs, atts = [], []
-    for layer in range(n_layer):
-        x, og, ag = global_mp(
-            sd, f"global_layer.{layer}.", x, ea_rbf_g, eg[0], eg[1],
-            "target_to_source",
-        )
-        x, ol, al = local_mp(
-            sd, f"local_layer.{layer}.", x, ea_rbf_l, ea_sbf2, ea_sbf1, t2, t1,
-            src, dst,
-        )
-        outs.append((og, ol))
-        atts.append((ag, al))
-
-    # Fusion (reference: models.py:206-213): per (layer, node) 2-way softmax.
+def fuse(outs, atts):
+    """Fusion module (reference: models.py:206-213): per (layer, node) 2-way
+    leaky-relu softmax over plexes, weighted sum, summed over layers -> (N,)."""
     att = np.stack(
         [np.stack([a[0][:, 0] for a in atts]), np.stack([a[1][:, 0] for a in atts])],
         axis=-1,
@@ -186,5 +157,120 @@ def rna_forward(sd, mol, n_layer=1, cutoff_l=2.6, cutoff_g=20.0):
         [np.stack([o[0][:, 0] for o in outs]), np.stack([o[1][:, 0] for o in outs])],
         axis=-1,
     )
-    node_out = (out * att).sum(-1).sum(0)
-    return float(node_out.mean())
+    return (out * att).sum(-1).sum(0)
+
+
+def angles(pos, a, b, c):
+    v1 = pos[b] - pos[a]
+    v2 = pos[c] - pos[b]
+    dot = np.sum(v1 * v2, -1)
+    cr = np.linalg.norm(np.cross(v1, v2), axis=-1)
+    return np.arctan2(cr, dot)
+
+
+def stack_forward(sd, x, pos, eg, el, n_layer, cutoff_l, cutoff_g, flow,
+                  variant="full"):
+    """Shared trunk: bases + n_layer x (global -> local) + fusion -> (N,)
+    per-node scalars (reference: models.py:162-213 / 307-350 for `_s`)."""
+    n = pos.shape[0]
+    src, dst = el
+    dist_g = np.linalg.norm(pos[eg[1]] - pos[eg[0]], axis=-1)
+    dist_l = np.linalg.norm(pos[dst] - pos[src], axis=-1)
+
+    t1 = graphbuild.pairs_np(el, n)
+    angle1 = angles(pos, t1["idx_i"], t1["idx_j1"], t1["idx_j2"])
+    if variant == "full":
+        t2 = graphbuild.triplets_np(el, n)
+        angle2 = angles(pos, t2["idx_i"], t2["idx_j"], t2["idx_k"])
+
+    rbf_l = bessel_rbf(sd, "rbf_l", dist_l, cutoff_l)
+    rbf_g = bessel_rbf(sd, "rbf_g", dist_g, cutoff_g)
+    sbf1 = spherical_basis(dist_l, angle1, t1["idx_jj"], cutoff_l)
+
+    ea_rbf_l = mlp(sd, "mlp_rbf_l", rbf_l, 1)
+    ea_rbf_g = mlp(sd, "mlp_rbf_g", rbf_g, 1)
+    if variant == "full":
+        sbf2 = spherical_basis(dist_l, angle2, t2["idx_kj"], cutoff_l)
+        ea_sbf2 = mlp(sd, "mlp_sbf2", sbf2, 1)
+        ea_sbf1 = mlp(sd, "mlp_sbf1", sbf1, 1)
+    else:
+        ea_sbf = mlp(sd, "mlp_sbf", sbf1, 1)
+
+    outs, atts = [], []
+    for layer in range(n_layer):
+        x, og, ag = global_mp(
+            sd, f"global_layer.{layer}.", x, ea_rbf_g, eg[0], eg[1], flow,
+        )
+        if variant == "full":
+            x, ol, al = local_mp(
+                sd, f"local_layer.{layer}.", x, ea_rbf_l, ea_sbf2, ea_sbf1,
+                t2, t1, src, dst,
+            )
+        else:
+            x, ol, al = local_mp_s(
+                sd, f"local_layer.{layer}.", x, ea_rbf_l, ea_sbf, t1, src, dst,
+            )
+        outs.append((og, ol))
+        atts.append((ag, al))
+    return fuse(outs, atts)
+
+
+def rna_forward(sd, mol, n_layer=1, cutoff_l=2.6, cutoff_g=20.0):
+    """Score one RNA molecule with the reference math, target_to_source flow
+    (reference: main_rna_puzzles.py:57, models.py:138-157,221)."""
+    pos = mol["pos"].astype(np.float64)
+    z = mol["z"].astype(np.int64)
+
+    eknn = graphbuild.knn_graph_np(mol["pos"], 50, None)
+    eknn = graphbuild.remove_self_loops_np(eknn)
+    d = np.linalg.norm(pos[eknn[1]] - pos[eknn[0]], axis=-1)
+    eg = eknn[:, d <= cutoff_g]
+    el = eknn[:, d <= cutoff_l]
+
+    x = sd["embeddings"].astype(np.float64)[z]
+    node_out = stack_forward(
+        sd, x, pos, eg, el, n_layer, cutoff_l, cutoff_g, "target_to_source"
+    )
+    return float(node_out.mean())  # global_mean_pool (models.py:221)
+
+
+def qm9_forward(sd, mol, n_layer, cutoff_l=5.0, cutoff_g=5.0, variant="full"):
+    """QM9 branch (reference: models.py:104-115,216 full; 285-353 `_s`):
+    local plex = bond graph, global plex = radius(cutoff_g), add-pool."""
+    pos = mol["pos"].astype(np.float64)
+    z = mol["z"].astype(np.int64)
+
+    el = graphbuild.remove_self_loops_np(
+        np.asarray(mol["edge_index"], np.int64).astype(np.int32)
+    )
+    max_nb = 500 if variant == "s" else 1000
+    eg = graphbuild.radius_graph_np(mol["pos"], cutoff_g, None, max_nb)
+    eg = graphbuild.remove_self_loops_np(eg)
+
+    x = sd["embeddings"].astype(np.float64)[z]
+    node_out = stack_forward(
+        sd, x, pos, eg, el, n_layer, cutoff_l, cutoff_g, "source_to_target",
+        variant=variant,
+    )
+    return float(node_out.sum())  # global_add_pool (models.py:216/351)
+
+
+def pdbbind_forward(sd, mol, n_layer, cutoff_l=2.0, cutoff_g=6.0):
+    """PDBbind branch (reference: models.py:117-136,217-219): features through
+    init_linear, local = global edges masked to cutoff_l, signed add-pool
+    (DeltaE via the +-1 mask on x > 40 A)."""
+    pos = np.asarray(mol["pos"], np.float64)
+    feat = np.asarray(mol["feat"], np.float64)
+
+    eg = graphbuild.radius_graph_np(np.asarray(mol["pos"], np.float32),
+                                    cutoff_g, None, 1000)
+    eg = graphbuild.remove_self_loops_np(eg)
+    dist_g = graphbuild.edge_distances_np(eg, np.asarray(mol["pos"], np.float32))
+    el = eg[:, dist_g <= cutoff_l]
+
+    x = linear(sd, "init_linear", feat)
+    node_out = stack_forward(
+        sd, x, pos, eg, el, n_layer, cutoff_l, cutoff_g, "source_to_target"
+    )
+    sign = np.where(pos[:, 0] > 40.0, -1.0, 1.0)
+    return float((node_out * sign).sum())

@@ -88,6 +88,32 @@ def test_load_qm9_parsing_and_units(tmp_path):
     np.testing.assert_allclose(m["y"][16:19], [1.0, 2.0, 3.0], rtol=1e-6)
 
 
+def test_dropped_block_does_not_shift_labels(tmp_path):
+    """Block 1 (Si) is dropped by the element whitelist; water at block 2
+    must still read CSV row 2 (value 3.0 base), not row 1.  Regression for
+    the enumeration-desync bug (parse_sdf_molecules now yields None per
+    dropped block; reference enumerates the supplier, qm9_dataset.py:203-205).
+    """
+    _write_raw(tmp_path)
+    mols = qm9.load_qm9(str(tmp_path), cache=False)
+    water = mols[1]
+    assert water["z"].tolist() == [3, 0, 0]  # O, H, H
+    # Reordered index 0 = raw col 3 = 3.0 * 4 = 12.0 for CSV row index 2.
+    np.testing.assert_allclose(water["y"][0], 12.0, rtol=1e-6)
+    np.testing.assert_allclose(water["y"][16:19], [3.0, 6.0, 9.0], rtol=1e-6)
+
+
+def test_parse_yields_none_per_dropped_block(tmp_path):
+    raw = tmp_path / "raw"
+    os.makedirs(raw)
+    (raw / "gdb9.sdf").write_text(SDF)
+    parsed = list(qm9.parse_sdf_molecules(str(raw / "gdb9.sdf")))
+    assert len(parsed) == 3  # one entry per $$$$ block, no trailing ghost
+    assert parsed[0] is not None
+    assert parsed[1] is None  # Si block
+    assert parsed[2] is not None
+
+
 def test_skip_list(tmp_path):
     _write_raw(tmp_path, skip_index=0)  # drop the first molecule
     mols = qm9.load_qm9(str(tmp_path), cache=False)
