@@ -113,7 +113,13 @@ def main():
         n_val = int(len(mols) * 0.1)
     else:
         from pamnet_tpu.data.qm9 import load_qm9, select_target
-        mols = select_target(load_qm9(osp.join('.', 'data', args.dataset)), args.target)
+        # allow_download mirrors the reference's auto-download
+        # (qm9_dataset.py:156-168); on no-egress hosts it raises with
+        # staging instructions instead.
+        mols = select_target(
+            load_qm9(osp.join('.', 'data', args.dataset), allow_download=True),
+            args.target,
+        )
         rng = np.random.default_rng(args.seed)
         order = rng.permutation(len(mols))
         mols = [mols[i] for i in order]

@@ -138,8 +138,83 @@ def load_skip_list(path: str) -> set[int]:
     return {int(x.split()[0]) - 1 for x in lines}
 
 
-def load_qm9(root: str, cache: bool = True) -> list[dict]:
-    """Full QM9: list of molecule dicts {z, pos, edge_index, y(19,)}."""
+# Reference download endpoints (qm9_dataset.py:116-120).
+RAW_URL = (
+    "https://deepchemdata.s3-us-west-1.amazonaws.com/datasets/"
+    "molnet_publish/qm9.zip"
+)
+RAW_URL2 = "https://ndownloader.figshare.com/files/3195404"
+PROCESSED_URL = "https://pytorch-geometric.com/datasets/qm9_v2.zip"
+
+
+def download(root: str, timeout: float = 60.0) -> None:
+    """Fetch the QM9 raw files (reference: qm9_dataset.py:157-168): the gdb9
+    zip (gdb9.sdf + gdb9.sdf.csv) and the uncharacterized list.  Raises
+    ConnectionError with staging instructions when the host has no egress."""
+    import urllib.error
+    import urllib.request
+    import zipfile
+
+    raw = os.path.join(root, "raw")
+    os.makedirs(raw, exist_ok=True)
+    try:
+        zip_path = os.path.join(raw, "qm9.zip")
+        urllib.request.urlretrieve(RAW_URL, zip_path)
+        with zipfile.ZipFile(zip_path) as zf:
+            zf.extractall(raw)
+        os.unlink(zip_path)
+        urllib.request.urlretrieve(
+            RAW_URL2, os.path.join(raw, "uncharacterized.txt")
+        )
+    except (urllib.error.URLError, OSError) as e:
+        raise ConnectionError(
+            f"QM9 download failed ({e}). If this host has no network egress, "
+            f"stage gdb9.sdf / gdb9.sdf.csv / uncharacterized.txt (or the "
+            f"preprocessed data_v2.pt / qm9_v2.pt) under {raw} manually "
+            f"(sources: {RAW_URL} and {RAW_URL2})."
+        ) from e
+
+
+def load_qm9_preprocessed(path: str) -> list[dict]:
+    """Torch-free reader for the preprocessed PyG artifact (``data_v2.pt`` /
+    ``qm9_v2.pt``; reference fallback qm9_dataset.py:156-160,172-185): a
+    ``torch.save`` of ``(Data, slices)`` where the collated ``Data`` holds
+    x = atom-type indices, pos, bond edge_index, and the already
+    reordered+unit-converted y (M, 19).  Skip list and target reorder are
+    baked in by the reference's process()."""
+    from pamnet_tpu.utils.torchpickle import load_torch_pickle
+
+    data, slices = load_torch_pickle(path)
+    x = np.asarray(data.x).reshape(-1)
+    pos = np.asarray(data.pos)
+    edge_index = np.asarray(data.edge_index)
+    y = np.asarray(data.y)
+    sx = np.asarray(slices["x"], np.int64)
+    se = np.asarray(slices["edge_index"], np.int64)
+    sy = np.asarray(slices["y"], np.int64)
+    mols = []
+    for i in range(len(sx) - 1):
+        n0, n1 = sx[i], sx[i + 1]
+        e0, e1 = se[i], se[i + 1]
+        mols.append(
+            dict(
+                z=x[n0:n1].astype(np.int32),
+                pos=pos[n0:n1].astype(np.float32),
+                # PyG collate offsets node ids by the cumulative node count;
+                # undo it so each molecule is self-contained.
+                edge_index=(edge_index[:, e0:e1] - n0).astype(np.int64),
+                y=y[sy[i]].astype(np.float64).reshape(-1),
+            )
+        )
+    return mols
+
+
+def load_qm9(root: str, cache: bool = True, allow_download: bool = False) -> list[dict]:
+    """Full QM9: list of molecule dicts {z, pos, edge_index, y(19,)}.
+
+    Resolution order (mirrors the reference's raw/preprocessed dual path,
+    qm9_dataset.py:147-160): npz cache -> raw SDF files -> preprocessed
+    ``data_v2.pt``/``qm9_v2.pt`` artifact -> (optional) download."""
     raw = os.path.join(root, "raw")
     cache_path = os.path.join(root, "processed", "qm9_pamnet_tpu.npz")
     if cache and os.path.exists(cache_path):
@@ -148,12 +223,24 @@ def load_qm9(root: str, cache: bool = True) -> list[dict]:
     sdf = os.path.join(raw, "gdb9.sdf")
     csv = os.path.join(raw, "gdb9.sdf.csv")
     unc = os.path.join(raw, "uncharacterized.txt")
-    for p in (sdf, csv, unc):
-        if not os.path.exists(p):
+    if not all(os.path.exists(p) for p in (sdf, csv, unc)):
+        for pre in (
+            os.path.join(root, "processed", "data_v2.pt"),
+            os.path.join(raw, "qm9_v2.pt"),
+        ):
+            if os.path.exists(pre):
+                mols = load_qm9_preprocessed(pre)
+                if cache:
+                    _save_cache(cache_path, mols)
+                return mols
+        if allow_download:
+            download(root)
+        else:
             raise FileNotFoundError(
-                f"QM9 raw file missing: {p}. This environment has no network "
-                "egress; place gdb9.sdf/gdb9.sdf.csv/uncharacterized.txt under "
-                f"{raw} (reference download URLs: datasets/qm9_dataset.py:116-119)."
+                f"QM9 data missing under {root}: need raw gdb9.sdf/"
+                "gdb9.sdf.csv/uncharacterized.txt, or a preprocessed "
+                "data_v2.pt/qm9_v2.pt, or pass allow_download=True "
+                f"(reference download URLs: qm9_dataset.py:116-120)."
             )
     targets = load_targets(csv)
     skip = load_skip_list(unc)

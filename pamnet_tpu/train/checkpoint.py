@@ -39,11 +39,21 @@ _LINEAR_NAMES = {"W_edge_attr", "W_out", "lin_rbf", "lin_rbf_out", "init_linear"
 
 
 def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
-    """Read a torch checkpoint (legacy or zip format) into numpy arrays."""
-    import torch
+    """Read a torch checkpoint (legacy or zip format) into numpy arrays.
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    return {k: np.asarray(v.detach().numpy()) for k, v in sd.items()}
+    Uses the first-party reader (utils/torchpickle.py) so the inference path
+    has no torch runtime dependency; falls back to torch (if importable) for
+    exotic serializations the reader doesn't cover."""
+    try:
+        from pamnet_tpu.utils.torchpickle import load_torch_pickle
+
+        sd = load_torch_pickle(path)
+        return {k: np.asarray(v) for k, v in sd.items()}
+    except Exception:
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        return {k: np.asarray(v.detach().numpy()) for k, v in sd.items()}
 
 
 def _ensure_mlp(container: dict, name: str, stage: int) -> dict:
