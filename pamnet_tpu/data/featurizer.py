@@ -57,17 +57,28 @@ FEATURE_NAMES = [
 
 
 def _hybridization(sybyl: str) -> int:
-    """OpenBabel-style hyb value from the SYBYL type suffix."""
+    """OpenBabel-style hyb value from the SYBYL type suffix.
+
+    Sulfoxide/sulfone sulfur (S.O / S.O2) is tetrahedral -> sp3, matching
+    OpenBabel's electron-domain assignment; suffixes compare
+    case-insensitively (writers emit both S.O2 and S.o2)."""
     if "." not in sybyl:
         return 0
-    suffix = sybyl.split(".", 1)[1]
-    if suffix in ("1",):
+    suffix = sybyl.split(".", 1)[1].lower()
+    if suffix == "1":
         return 1
-    if suffix in ("2", "ar", "am", "co2", "pl3", "O2"):
+    if suffix in ("2", "ar", "am", "co2", "pl3"):
         return 2
     if suffix in ("3", "4", "o", "o2", "th", "t3"):
         return 3
     return 3
+
+
+# SYBYL bond-order values for valence accounting (TRIPOS bond types).
+_ORDER_VALENCE = {
+    "1": 1.0, "2": 2.0, "3": 3.0, "am": 1.0, "ar": 1.5,
+    "du": 1.0, "un": 1.0, "nc": 0.0,
+}
 
 
 def _ring_atoms(n: int, bonds) -> np.ndarray:
@@ -161,12 +172,21 @@ def featurize_mol2(mol: Mol2, molcode: float | None = None):
     hydrophobic = ((z == 6) & no_nof) | sulfur_hydrophobic | np.isin(z, (17, 35, 53))
 
     # acceptor: anything NOT in {H, C, F, Cl, Br, I, aromatic o/s,
-    # 3-connected aromatic n, pentavalent N/P, S(IV)/S(VI), cations}.
+    # 3-connected aromatic n, pentavalent N/P, S(IV)/S(VI), cations}
+    # (reference SMARTS featurizer.py:127).  Valence is accounted from the
+    # mol2 bond orders (ar = 1.5) so e.g. nitro N (3 connections, valence 5)
+    # is excluded like OpenBabel's #7v5 would.
     total_deg = np.array([len(nbrs[v]) for v in range(n)], dtype=np.int64)
+    valence = np.zeros(n, dtype=np.float64)
+    for a, b, order in mol.bonds:
+        v = _ORDER_VALENCE.get(order, 1.0)
+        valence[a] += v
+        valence[b] += v
+    valence = np.round(valence).astype(np.int64)
     n_arom_x3 = (z == 7) & aromatic & (total_deg == 3)
-    nv5 = (z == 7) & (total_deg >= 4)
-    pv5 = (z == 15) & (total_deg >= 4)
-    sv46 = (z == 16) & (total_deg >= 3)
+    nv5 = (z == 7) & ((total_deg >= 4) | (valence >= 5))
+    pv5 = (z == 15) & ((total_deg >= 4) | (valence >= 5))
+    sv46 = (z == 16) & ((total_deg >= 3) | (valence >= 4))
     excluded = (
         (z == 1) | (z == 6) | np.isin(z, (9, 17, 35, 53))
         | ((z == 8) & aromatic) | ((z == 16) & aromatic)

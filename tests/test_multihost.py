@@ -1,0 +1,83 @@
+"""Multi-host DCN smoke test (SURVEY.md section 2.3 stretch goal): two real
+OS processes on localhost, ``jax.distributed.initialize`` + gloo CPU
+collectives, running the actual ``make_dp_train_step`` over a 2-process
+global mesh — proving the same shard_map program scales across hosts.
+
+The two processes' synchronized losses must agree with each other AND with
+an in-process 2-device virtual mesh running the identical program."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _run_workers(nproc: int, port: int):
+    env = {**os.environ, "PYTHONPATH": REPO + os.pathsep + HERE}
+    # The parent test process forces 8 virtual CPU devices (conftest);
+    # each worker must expose exactly ONE local device.
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "multihost_worker.py"),
+             str(pid), str(nproc), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid in range(nproc)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+    return outs
+
+
+def test_two_process_dp_train_step_matches_single_process():
+    port = _free_port()
+    outs = _run_workers(2, port)
+
+    losses = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("LOSSES"):
+                _, pid, l0, l1 = line.split()
+                losses[int(pid)] = (float(l0), float(l1))
+    assert set(losses) == {0, 1}, outs
+    # Both processes observe the identical psum-reduced loss.
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+
+    # In-process oracle: same program on a 2-device virtual mesh
+    # (conftest sets xla_force_host_platform_device_count).
+    import jax
+
+    from multihost_common import CFG, make_batches
+    from pamnet_tpu.models import init_pamnet
+    from pamnet_tpu.train.loop import (
+        init_train_state, make_dp_train_step, make_mesh, make_optimizer,
+        stack_microbatches,
+    )
+
+    mesh = make_mesh(2)
+    stacked = stack_microbatches(make_batches())
+    params = init_pamnet(jax.random.PRNGKey(0), CFG)
+    optimizer = make_optimizer(1e-3)
+    state = init_train_state(params, optimizer)
+    step = make_dp_train_step(CFG, optimizer, "l1", mesh)
+    expected = []
+    for _ in range(2):
+        state, loss = step(state, stacked)
+        expected.append(float(loss))
+    np.testing.assert_allclose(losses[0], expected, rtol=1e-5)

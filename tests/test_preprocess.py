@@ -185,6 +185,179 @@ END
 """
 
 
+def _feat(tmp_path, text, name="mol.mol2"):
+    p = tmp_path / name
+    p.write_text(textwrap.dedent(text))
+    coords, feats = featurize_mol2(parse_mol2(str(p)))
+    return coords, [dict(zip(FEATURE_NAMES, row)) for row in feats]
+
+
+def test_featurizer_quaternary_ammonium(tmp_path):
+    """Tetramethylammonium: 4-connected N is excluded from acceptors
+    (reference SMARTS *+1 / #7v5, featurizer.py:127); its methyls stay
+    non-hydrophobic (N neighbor)."""
+    _, f = _feat(tmp_path, """\
+        @<TRIPOS>MOLECULE
+        tma
+        5 4 1
+        SMALL
+        GASTEIGER
+        @<TRIPOS>ATOM
+          1 N1  0.000  0.000  0.000 N.4 1 TMA  0.30
+          2 C1  1.500  0.000  0.000 C.3 1 TMA -0.10
+          3 C2 -1.500  0.000  0.000 C.3 1 TMA -0.10
+          4 C3  0.000  1.500  0.000 C.3 1 TMA -0.10
+          5 C4  0.000 -1.500  0.000 C.3 1 TMA -0.10
+        @<TRIPOS>BOND
+          1 1 2 1
+          2 1 3 1
+          3 1 4 1
+          4 1 5 1
+        """)
+    f_n = f[0]
+    assert f_n["N"] == 1.0
+    assert f_n["acceptor"] == 0.0 and f_n["donor"] == 0.0
+    assert f_n["hyb"] == 3.0 and f_n["heavydegree"] == 4.0
+    for fc in f[1:]:
+        assert fc["hydrophobic"] == 0.0  # bonded to N
+
+
+def test_featurizer_carboxylate(tmp_path):
+    """Acetate: carboxylate oxygens are acceptors, never donors; the
+    carboxyl carbon loses hydrophobicity (O neighbors), the methyl keeps
+    it."""
+    _, f = _feat(tmp_path, """\
+        @<TRIPOS>MOLECULE
+        acetate
+        4 3 1
+        SMALL
+        GASTEIGER
+        @<TRIPOS>ATOM
+          1 C1  0.000  0.000  0.000 C.3   1 ACT -0.20
+          2 C2  1.520  0.000  0.000 C.2   1 ACT  0.40
+          3 O1  2.150  1.100  0.000 O.co2 1 ACT -0.60
+          4 O2  2.150 -1.100  0.000 O.co2 1 ACT -0.60
+        @<TRIPOS>BOND
+          1 1 2 1
+          2 2 3 2
+          3 2 4 1
+        """)
+    f_me, f_c, f_o1, f_o2 = f
+    assert f_me["hydrophobic"] == 1.0
+    assert f_c["hydrophobic"] == 0.0
+    for fo in (f_o1, f_o2):
+        assert fo["O"] == 1.0
+        assert fo["acceptor"] == 1.0 and fo["donor"] == 0.0
+        assert fo["hyb"] == 2.0  # O.co2
+
+
+def test_featurizer_sulfoxide_and_sulfone(tmp_path):
+    """S(IV)/S(VI): DMSO and dimethylsulfone sulfur are excluded from
+    acceptors (#16v4/#16v6); their S is sp3 (tetrahedral electron domains)
+    so the S^3 hydrophobic alternative fires, like OpenBabel."""
+    _, f = _feat(tmp_path, """\
+        @<TRIPOS>MOLECULE
+        dmso_and_sulfone
+        9 7 1
+        SMALL
+        GASTEIGER
+        @<TRIPOS>ATOM
+          1 S1  0.000  0.000  0.000 S.O  1 DMS  0.30
+          2 C1  1.800  0.000  0.000 C.3  1 DMS -0.10
+          3 C2 -1.800  0.000  0.000 C.3  1 DMS -0.10
+          4 O1  0.000  1.500  0.000 O.2  1 DMS -0.50
+          5 S2 10.000  0.000  0.000 S.O2 1 SFN  0.50
+          6 C3 11.800  0.000  0.000 C.3  1 SFN -0.10
+          7 C4  8.200  0.000  0.000 C.3  1 SFN -0.10
+          8 O2 10.000  1.500  0.000 O.2  1 SFN -0.50
+          9 O3 10.000 -1.500  0.000 O.2  1 SFN -0.50
+        @<TRIPOS>BOND
+          1 1 2 1
+          2 1 3 1
+          3 1 4 2
+          4 5 6 1
+          5 5 7 1
+          6 5 8 2
+          7 5 9 2
+        """)
+    f_s1, _, _, f_o1, f_s2 = f[0], f[1], f[2], f[3], f[4]
+    for fs in (f_s1, f_s2):
+        assert fs["S"] == 1.0
+        assert fs["acceptor"] == 0.0  # S(IV)/S(VI) excluded
+        assert fs["hyb"] == 3.0  # tetrahedral
+        assert fs["hydrophobic"] == 1.0  # S^3 alternative
+    assert f_o1["acceptor"] == 1.0  # sulfinyl O stays an acceptor
+
+
+def test_featurizer_nitro_nitrogen_excluded(tmp_path):
+    """Nitromethane: nitro N has only 3 connections but valence 5 (two
+    double bonds) — the bond-order valence accounting must exclude it from
+    acceptors like OpenBabel's #7v5."""
+    _, f = _feat(tmp_path, """\
+        @<TRIPOS>MOLECULE
+        nitromethane
+        4 3 1
+        SMALL
+        GASTEIGER
+        @<TRIPOS>ATOM
+          1 C1  0.000  0.000  0.000 C.3  1 NME -0.10
+          2 N1  1.500  0.000  0.000 N.2  1 NME  0.60
+          3 O1  2.150  1.100  0.000 O.2  1 NME -0.40
+          4 O2  2.150 -1.100  0.000 O.2  1 NME -0.40
+        @<TRIPOS>BOND
+          1 1 2 1
+          2 2 3 2
+          3 2 4 2
+        """)
+    f_c, f_n, f_o1, f_o2 = f
+    assert f_n["acceptor"] == 0.0  # valence-5 N excluded
+    assert f_n["donor"] == 0.0
+    assert f_o1["acceptor"] == 1.0 and f_o2["acceptor"] == 1.0
+    assert f_c["hydrophobic"] == 0.0  # bonded to N
+
+
+def test_featurizer_halogen_on_aromatic_and_metal(tmp_path):
+    """Chlorobenzene + a bare zinc: neutral Cl is hydrophobic, never an
+    acceptor, not aromatic/ring itself; Zn maps to the metal one-hot class
+    (acceptor under the documented neutral-formal-charge approximation)."""
+    _, f = _feat(tmp_path, """\
+        @<TRIPOS>MOLECULE
+        clbz_zn
+        8 7 1
+        SMALL
+        GASTEIGER
+        @<TRIPOS>ATOM
+          1 C1  0.000  1.396  0.000 C.ar 1 CLB -0.06
+          2 C2  1.209  0.698  0.000 C.ar 1 CLB -0.06
+          3 C3  1.209 -0.698  0.000 C.ar 1 CLB -0.06
+          4 C4  0.000 -1.396  0.000 C.ar 1 CLB -0.06
+          5 C5 -1.209 -0.698  0.000 C.ar 1 CLB -0.06
+          6 C6 -1.209  0.698  0.000 C.ar 1 CLB  0.10
+          7 Cl1 -2.500  1.500  0.000 Cl   1 CLB -0.15
+          8 Zn1 10.000  0.000  0.000 Zn   1 ZN2  0.80
+        @<TRIPOS>BOND
+          1 1 2 ar
+          2 2 3 ar
+          3 3 4 ar
+          4 4 5 ar
+          5 5 6 ar
+          6 6 1 ar
+          7 6 7 1
+        """)
+    f_cl, f_zn = f[6], f[7]
+    assert f_cl["halogen"] == 1.0
+    assert f_cl["hydrophobic"] == 1.0
+    assert f_cl["acceptor"] == 0.0
+    assert f_cl["aromatic"] == 0.0 and f_cl["ring"] == 0.0
+    assert f_zn["metal"] == 1.0
+    assert f_zn["hydrophobic"] == 0.0 and f_zn["donor"] == 0.0
+    assert f_zn["acceptor"] == 1.0  # documented neutral-charge approximation
+    # Ring carbons keep aromatic+ring; the Cl-bearing carbon stays
+    # hydrophobic (Cl is not N/O/F).
+    assert f[5]["aromatic"] == 1.0 and f[5]["ring"] == 1.0
+    assert f[5]["hydrophobic"] == 1.0
+
+
 def test_parse_pdb_and_rms(tmp_path):
     p = tmp_path / "cand.pdb"
     p.write_text(PDB_TEXT)
