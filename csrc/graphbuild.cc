@@ -166,6 +166,42 @@ int64_t expand_incoming(const int32_t* src, int64_t e, int64_t n_nodes,
   return m;
 }
 
+// Batch collation fast path (one pass, writes directly into the padded
+// output — the python path pays a concat copy plus a pad copy per field).
+// Concatenate n_arr int32 arrays, adding offs[a] to every element of array
+// a; zero-fill the padded tail.  Returns total valid rows, or -1 on
+// overflow of out_len.
+int64_t concat_offset_i32(const int32_t* const* srcs, const int64_t* lens,
+                          const int32_t* offs, int64_t n_arr, int32_t* out,
+                          int64_t out_len) {
+  int64_t m = 0;
+  for (int64_t a = 0; a < n_arr; ++a) {
+    if (m + lens[a] > out_len) return -1;
+    const int32_t o = offs[a];
+    const int32_t* s = srcs[a];
+    for (int64_t i = 0; i < lens[a]; ++i) out[m + i] = s[i] + o;
+    m += lens[a];
+  }
+  std::fill(out + m, out + out_len, 0);
+  return m;
+}
+
+// Concatenate n_arr float32 row blocks (lens[a] rows of row_w floats each);
+// zero-fill the padded tail rows.  Returns total valid rows, or -1 on
+// overflow of out_rows.
+int64_t concat_rows_f32(const float* const* srcs, const int64_t* lens,
+                        int64_t row_w, int64_t n_arr, float* out,
+                        int64_t out_rows) {
+  int64_t m = 0;
+  for (int64_t a = 0; a < n_arr; ++a) {
+    if (m + lens[a] > out_rows) return -1;
+    std::copy(srcs[a], srcs[a] + lens[a] * row_w, out + m * row_w);
+    m += lens[a];
+  }
+  std::fill(out + m * row_w, out + out_rows * row_w, 0.0f);
+  return m;
+}
+
 // ELL aggregation-table construction (counting sort): group the first
 // n_valid row ids by value into a fixed-width (num_groups, k) table + mask
 // (the host-side builder behind pamnet_tpu/ops/ell.py; python fallback is

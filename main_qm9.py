@@ -80,6 +80,13 @@ def main():
                              'into this directory')
     parser.add_argument('--metrics_csv', type=str, default='',
                         help='Append per-epoch metrics to this CSV file')
+    parser.add_argument('--structure_cache', type=str, default='',
+                        help='Directory for the on-disk precomputed-structure '
+                             'cache (content-addressed, resumable; '
+                             'data/structcache.py)')
+    parser.add_argument('--cache_workers', type=int, default=0,
+                        help='Process-pool size for building missing '
+                             'structure-cache chunks (0 = in-process)')
     args = parser.parse_args()
 
     set_seed(args.seed)
@@ -140,7 +147,9 @@ def main():
     test_mols = mols[n_train + n_val:]
 
     common = dict(dataset_kind='qm9', cutoff_l=cfg.cutoff_l, cutoff_g=cfg.cutoff_g,
-                  variant=variant)
+                  variant=variant,
+                  cache_dir=args.structure_cache or None,
+                  cache_workers=args.cache_workers)
     dp = max(args.dp, 0)
     train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
                                shuffle=True, seed=args.seed, drop_last=True, **common)

@@ -53,6 +53,8 @@ class GraphLoader:
         num_spherical: int = 7,
         num_radial: int = 6,
         envelope_exponent: int = 5,
+        cache_dir: str | None = None,
+        cache_workers: int = 0,
     ):
         self.dataset_kind = dataset_kind
         self.batch_size = batch_size
@@ -62,16 +64,30 @@ class GraphLoader:
         self._rng = np.random.default_rng(seed)
         if not mols:
             raise ValueError("GraphLoader needs at least one molecule")
-        self.structs = [
-            precompute_structure(m, dataset_kind, cutoff_l, cutoff_g, variant)
-            for m in mols
-        ]
-        if precompute_basis:
-            from pamnet_tpu.data.batch import attach_basis
+        if cache_dir is not None:
+            # On-disk, content-addressed, resumable structure cache
+            # (data/structcache.py) — the analog of the reference's one-time
+            # process() artifact (qm9_dataset.py:170-265).
+            from pamnet_tpu.data.structcache import BuildSpec, load_or_build
 
-            for s in self.structs:
-                attach_basis(s, cutoff_l, num_spherical, num_radial,
-                             envelope_exponent)
+            self.structs = load_or_build(
+                mols,
+                BuildSpec(dataset_kind, cutoff_l, cutoff_g, variant,
+                          precompute_basis, num_spherical, num_radial,
+                          envelope_exponent),
+                cache_dir, num_workers=cache_workers,
+            )
+        else:
+            self.structs = [
+                precompute_structure(m, dataset_kind, cutoff_l, cutoff_g, variant)
+                for m in mols
+            ]
+            if precompute_basis:
+                from pamnet_tpu.data.batch import attach_basis
+
+                for s in self.structs:
+                    attach_basis(s, cutoff_l, num_spherical, num_radial,
+                                 envelope_exponent)
         if pads is None:
             pads = self._worst_case_pads(align)
         self.pads = pads
@@ -119,12 +135,31 @@ class GraphLoader:
             out.append(chunk.tolist())
         return out
 
-    def __iter__(self):
-        for idxs in self.batches():
-            yield collate_structures(
-                [self.structs[i] for i in idxs], self.pads,
-                build_tables=self.build_tables,
+    def _plan(self):
+        """Native collate plan (built lazily, once): per-field address/length
+        tables so each batch field is a single C concat-offset-pad pass."""
+        if not hasattr(self, "_plan_cache"):
+            from pamnet_tpu.data import native
+            from pamnet_tpu.data.batch import CollatePlan
+
+            self._plan_cache = (
+                CollatePlan(self.structs) if native.has_collate() else None
             )
+        return self._plan_cache
+
+    def __iter__(self):
+        plan = self._plan()
+        for idxs in self.batches():
+            if plan is not None:
+                yield collate_structures(
+                    None, self.pads, build_tables=self.build_tables,
+                    plan=plan, idxs=idxs,
+                )
+            else:
+                yield collate_structures(
+                    [self.structs[i] for i in idxs], self.pads,
+                    build_tables=self.build_tables,
+                )
 
     def prefetch(self, depth: int = 2):
         """Iterate with a background collation thread (overlaps host batch

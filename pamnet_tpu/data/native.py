@@ -79,6 +79,21 @@ def _load():
         ]
     except AttributeError:  # older .so without the symbol
         pass
+    # Pointer lists are passed as uint64 address arrays (ABI-identical to
+    # `const T* const*` on LP64) — building real ctypes pointer arrays via
+    # ``arr.ctypes.data`` measured ~37% of collate time.
+    u64p = np.ctypeslib.ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS")
+    try:
+        lib.concat_offset_i32.restype = ctypes.c_int64
+        lib.concat_offset_i32.argtypes = [
+            u64p, i64p, i32p, ctypes.c_int64, i32p, ctypes.c_int64,
+        ]
+        lib.concat_rows_f32.restype = ctypes.c_int64
+        lib.concat_rows_f32.argtypes = [
+            u64p, i64p, ctypes.c_int64, ctypes.c_int64, f32p, ctypes.c_int64,
+        ]
+    except AttributeError:
+        pass
     _lib = lib
     return _lib
 
@@ -135,6 +150,72 @@ def ell_table(ids, n_valid, num_groups, k):
     if rc != 0:
         raise ValueError("group id out of range")
     return table, mask
+
+
+def has_collate() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "concat_offset_i32")
+
+
+def _addrs_lens(arrs):
+    """(uint64 address array, int64 length array) for a list of ndarrays.
+    ``__array_interface__`` exposes the raw address as a plain int — far
+    cheaper than ``arr.ctypes.data`` (which builds a ctypes view per call)."""
+    n = len(arrs)
+    addrs = np.empty(n, dtype=np.uint64)
+    lens = np.empty(n, dtype=np.int64)
+    for k, a in enumerate(arrs):
+        ai = a.__array_interface__
+        addrs[k] = ai["data"][0]
+        lens[k] = ai["shape"][0] if ai["shape"] else 0
+    return addrs, lens
+
+
+def _as_c(arrs, dtype):
+    return [a if (a.dtype == dtype and a.flags.c_contiguous)
+            else np.ascontiguousarray(a, dtype=dtype) for a in arrs]
+
+
+def concat_offset_i32_addr(addrs, lens, offs, out_len):
+    """Padded concat from precomputed address/length arrays (CollatePlan
+    path: no per-array Python work at collation time)."""
+    lib = _load()
+    out = np.empty(out_len, dtype=np.int32)
+    m = lib.concat_offset_i32(addrs, lens, offs, len(addrs), out, out_len)
+    if m < 0:
+        total = int(lens.sum())
+        raise ValueError(f"padding overflow: have {total} rows, bucket holds {out_len}")
+    return out, int(m)
+
+
+def concat_rows_f32_addr(addrs, lens, row_w, out_rows):
+    lib = _load()
+    out = np.empty((out_rows, row_w) if row_w != 1 else out_rows, dtype=np.float32)
+    m = lib.concat_rows_f32(addrs, lens, row_w, len(addrs), out, out_rows)
+    if m < 0:
+        total = int(lens.sum())
+        raise ValueError(f"padding overflow: have {total} rows, bucket holds {out_rows}")
+    return out, int(m)
+
+
+def concat_offset_i32(arrs, offs, out_len):
+    """Padded concat of int32 arrays with per-array scalar offsets, in one
+    native pass (the collation hot path; see csrc/graphbuild.cc)."""
+    arrs = _as_c(arrs, np.int32)
+    addrs, lens = _addrs_lens(arrs)
+    offs = np.ascontiguousarray(offs, dtype=np.int32)
+    return concat_offset_i32_addr(addrs, lens, offs, out_len)
+
+
+def concat_rows_f32(arrs, out_rows):
+    """Padded concat of float32 row blocks (shared trailing width)."""
+    arrs = _as_c(arrs, np.float32)
+    row_w = int(np.prod(arrs[0].shape[1:], dtype=np.int64)) if arrs[0].ndim > 1 else 1
+    addrs, lens = _addrs_lens(arrs)
+    out, m = concat_rows_f32_addr(addrs, lens, row_w, out_rows)
+    if arrs[0].ndim > 1:
+        out = out.reshape((out_rows,) + arrs[0].shape[1:])
+    return out, int(m)
 
 
 def _expand(edge_index, num_nodes, anchor_is_src):

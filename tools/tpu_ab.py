@@ -1,0 +1,152 @@
+"""Same-process TPU A/B harness (DEVNOTES.md: cross-session variance ~3x, so
+every comparison must run back-to-back in ONE process, timed with host
+fetches that data-depend on the whole computation).
+
+Experiments (select with argv[1:], default: dtype):
+  dtype   f32 vs bf16 compute at the QM9 headline recipe (d=128 L=6 b=32),
+          512-step single-dispatch scans, ELL tables on.
+  pallas  native-TPU evidence for ops/pallas_triplet.py: ELL tables vs XLA
+          scatter vs the Pallas MXU kernel at a config that passes the VMEM
+          gate (batch 8, align=256).
+  rnapack lane-packing A/B for the RNA local/sbf chain (see ops/packing.py).
+
+Each experiment prints one `AB <name> variant=... mol_s=...` line per variant.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from pamnet_tpu.config import PAMNetConfig
+from pamnet_tpu.data.loader import GraphLoader
+from pamnet_tpu.data.synthetic import synthetic_qm9_dataset
+from pamnet_tpu.models import count_parameters, init_pamnet
+from pamnet_tpu.train.loop import (
+    init_train_state,
+    make_multistep_train_step,
+    make_optimizer,
+    stack_microbatches,
+)
+from pamnet_tpu.train.schedules import warmup_exponential
+from pamnet_tpu.utils.runtime import enable_compilation_cache
+
+
+def _stage(loader, n_blocks=8):
+    batches = []
+    for i, gb in enumerate(loader):
+        batches.append(jax.tree.map(lambda x: jax.device_put(jnp.asarray(x)), gb))
+        if i + 1 >= n_blocks:
+            break
+    return batches
+
+
+def _tile(batches, steps):
+    S = len(batches)
+    reps = max(steps // S, 1)
+    stacked = stack_microbatches(batches)
+    return jax.tree.map(lambda x: jnp.concatenate([x] * reps), stacked), reps * S
+
+
+def _run_scan(name, variant, cfg, state, tiled, n_steps, batch_size):
+    optimizer = make_optimizer(warmup_exponential(1e-4, steps_per_epoch=64),
+                               clip_norm=1000.0)
+    run = make_multistep_train_step(cfg, optimizer, "l1", ema_decay=0.999)
+    t0 = time.time()
+    s1, losses = run(state, tiled)
+    _ = float(losses[-1])
+    print(f"  [{variant}] compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        s1, losses = run(state, tiled)
+        last = float(losses[-1])
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    mol_s = n_steps * batch_size / best
+    print(f"AB {name} variant={variant} ms_step={best/n_steps*1e3:.3f} "
+          f"mol_s={mol_s:.1f} loss={last:.4f}")
+    return mol_s
+
+
+def exp_dtype():
+    cfg32 = PAMNetConfig(dataset="QM9", dim=128, n_layer=6,
+                         cutoff_l=5.0, cutoff_g=5.0)
+    bs = 32
+    mols = synthetic_qm9_dataset(16 * bs, seed=480)
+    loader = GraphLoader(mols, "qm9", cfg32.cutoff_l, cfg32.cutoff_g,
+                         batch_size=bs, shuffle=False, drop_last=True)
+    print(f"pads: {loader.pads}", file=sys.stderr)
+    batches = _stage(loader)
+    tiled, n_steps = _tile(batches, 512)
+    params = init_pamnet(jax.random.PRNGKey(480), cfg32)
+    print(f"params: {count_parameters(params):,}", file=sys.stderr)
+    optimizer = make_optimizer(warmup_exponential(1e-4, steps_per_epoch=64),
+                               clip_norm=1000.0)
+    state = init_train_state(params, optimizer, use_ema=True)
+
+    a = _run_scan("dtype", "f32", cfg32, state, tiled, n_steps, bs)
+    cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16")
+    b = _run_scan("dtype", "bf16", cfg16, state, tiled, n_steps, bs)
+    a2 = _run_scan("dtype", "f32_again", cfg32, state, tiled, n_steps, bs)
+    print(f"AB dtype speedup={b/max(a,a2):.3f}x (vs best f32)")
+
+
+def exp_pallas():
+    from pamnet_tpu.ops.pallas_triplet import fits_pallas
+
+    bs = 8
+    cfg = PAMNetConfig(dataset="QM9", dim=128, n_layer=6,
+                       cutoff_l=5.0, cutoff_g=5.0)
+    mols = synthetic_qm9_dataset(16 * bs, seed=481)
+
+    # ELL-table variant (training default)
+    lo_t = GraphLoader(mols, "qm9", cfg.cutoff_l, cfg.cutoff_g, batch_size=bs,
+                       shuffle=False, drop_last=True, align=256)
+    # No tables: XLA scatter vs Pallas share these batches
+    lo_n = GraphLoader(mols, "qm9", cfg.cutoff_l, cfg.cutoff_g, batch_size=bs,
+                       shuffle=False, drop_last=True, align=256,
+                       build_tables=False)
+    pads = lo_n.pads
+    ok = fits_pallas(pads.el, pads.t2, cfg.dim) and fits_pallas(pads.el, pads.t1, cfg.dim)
+    print(f"pads: {pads}  fits_pallas={ok}", file=sys.stderr)
+    if not ok:
+        print("AB pallas SKIPPED: VMEM gate fails at this config")
+        return
+
+    params = init_pamnet(jax.random.PRNGKey(481), cfg)
+    optimizer = make_optimizer(warmup_exponential(1e-4, steps_per_epoch=64),
+                               clip_norm=1000.0)
+    state = init_train_state(params, optimizer, use_ema=True)
+
+    tiled_t, n_steps = _tile(_stage(lo_t), 512)
+    tiled_n, _ = _tile(_stage(lo_n), 512)
+    # Strip ALL tables (collate always builds the sorted-offset entries, and
+    # any truthy `tables` routes local_mp away from fused_triplet_aggregate —
+    # the op under test).  tables={} -> XLA gather+scatter vs Pallas MXU.
+    tiled_0 = tiled_n._replace(tables={})
+
+    _run_scan("pallas", "ell_tables", cfg, state, tiled_t, n_steps, bs)
+    _run_scan("pallas", "sorted_offsets", cfg, state, tiled_n, n_steps, bs)
+    _run_scan("pallas", "xla_scatter", cfg, state, tiled_0, n_steps, bs)
+    cfgp = dataclasses.replace(cfg, use_pallas_triplet=True)
+    _run_scan("pallas", "pallas_mxu", cfgp, state, tiled_0, n_steps, bs)
+
+
+def main():
+    enable_compilation_cache()
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    which = sys.argv[1:] or ["dtype"]
+    for w in which:
+        {"dtype": exp_dtype, "pallas": exp_pallas}[w]()
+
+
+if __name__ == "__main__":
+    main()
