@@ -11,6 +11,12 @@ its CUDA training throughput at this config (batch 32, ~70 ms/step on a
 V100-class GPU with per-step radius-graph + triplet construction — the
 dominant costs measured in SURVEY.md section 3.2).  vs_baseline = value/450.
 The driver-set target is >5x (BASELINE.md), i.e. vs_baseline > 5.
+
+Precision: f32 activations (the parity default; `PAMNET_BENCH_DTYPE=bfloat16`
+opts into bf16 compute, +12.5% measured) at jax DEFAULT matmul precision
+(bf16 inputs / f32 accumulation — standard TPU training numerics).
+Absolute numbers vary ~3x across sessions on this pool's time-shared TPU
+tunnel (DEVNOTES.md); comparisons are only valid same-process.
 """
 
 from __future__ import annotations

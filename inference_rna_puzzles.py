@@ -50,6 +50,11 @@ def main():
                         choices=['default', 'float32'],
                         help='MXU matmul precision; float32 reproduces the '
                              'reference f32 scores, default (bf16) is faster')
+    parser.add_argument('--compute_dtype', type=str, default='float32',
+                        choices=['float32', 'bfloat16'],
+                        help='Activation dtype for the message-passing '
+                             'stack (bf16 halves HBM traffic; scores '
+                             'shift ~1e-3 relative — see DEVNOTES.md)')
     parser.add_argument('--platform', type=str, default='auto',
                         help='jax platform (auto|cpu|axon|tpu)')
     args = parser.parse_args()
@@ -79,6 +84,7 @@ def main():
     cfg = PAMNetConfig(
         dataset=args.dataset, dim=args.dim, n_layer=args.n_layer,
         cutoff_l=args.cutoff_l, cutoff_g=args.cutoff_g, flow=args.flow,
+        compute_dtype=args.compute_dtype,
     )
 
     ckpt_path = resolve_path(

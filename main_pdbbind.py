@@ -54,6 +54,12 @@ def main():
     parser.add_argument('--cutoff_g', type=float, default=6.0, help='cutoff in global layer')
     parser.add_argument('--data_root', type=str, default=None)
     parser.add_argument('--platform', type=str, default='auto')
+    parser.add_argument('--structure_cache', type=str, default='',
+                        help='Directory for the on-disk precomputed-structure '
+                             'cache (data/structcache.py)')
+    parser.add_argument('--compute_dtype', type=str, default='float32',
+                        choices=['float32', 'bfloat16'],
+                        help='Activation dtype for the message-passing stack')
     parser.add_argument('--precision', type=str, default='float32',
                         choices=['default', 'float32'])
     args = parser.parse_args()
@@ -94,9 +100,11 @@ def main():
     print(f"Data loaded! train={len(train_mols)} val={len(val_mols)} test={len(core)}")
 
     cfg = PAMNetConfig(dataset='PDBbind', dim=args.dim, n_layer=args.n_layer,
-                       cutoff_l=args.cutoff_l, cutoff_g=args.cutoff_g)
+                       cutoff_l=args.cutoff_l, cutoff_g=args.cutoff_g,
+                       compute_dtype=args.compute_dtype)
 
     common = dict(dataset_kind='pdbbind', cutoff_l=cfg.cutoff_l,
+                  cache_dir=args.structure_cache or None,
                   cutoff_g=cfg.cutoff_g)
     train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
                                shuffle=True, seed=args.seed, **common)

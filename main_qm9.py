@@ -80,6 +80,9 @@ def main():
                              'into this directory')
     parser.add_argument('--metrics_csv', type=str, default='',
                         help='Append per-epoch metrics to this CSV file')
+    parser.add_argument('--compute_dtype', type=str, default='float32',
+                        choices=['float32', 'bfloat16'],
+                        help='Activation dtype for the message-passing stack')
     parser.add_argument('--structure_cache', type=str, default='',
                         help='Directory for the on-disk precomputed-structure '
                              'cache (content-addressed, resumable; '
@@ -140,7 +143,7 @@ def main():
     variant = "s" if args.model == "PAMNet_s" else "full"
     cfg = PAMNetConfig(dataset='QM9', dim=args.dim, n_layer=args.n_layer,
                        cutoff_l=args.cutoff_l, cutoff_g=args.cutoff_g,
-                       variant=variant)
+                       variant=variant, compute_dtype=args.compute_dtype)
 
     train_mols = mols[:n_train]
     val_mols = mols[n_train:n_train + n_val]

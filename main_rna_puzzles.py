@@ -59,6 +59,12 @@ def main():
                         help='Flow direction of message passing')
     parser.add_argument('--data_root', type=str, default=None)
     parser.add_argument('--platform', type=str, default='auto')
+    parser.add_argument('--structure_cache', type=str, default='',
+                        help='Directory for the on-disk precomputed-structure '
+                             'cache (data/structcache.py)')
+    parser.add_argument('--compute_dtype', type=str, default='float32',
+                        choices=['float32', 'bfloat16'],
+                        help='Activation dtype for the message-passing stack')
     parser.add_argument('--precision', type=str, default='float32',
                         choices=['default', 'float32'])
     args = parser.parse_args()
@@ -94,9 +100,10 @@ def main():
                        else 'rna_train',
                        dim=args.dim, n_layer=args.n_layer,
                        cutoff_l=args.cutoff_l, cutoff_g=args.cutoff_g,
-                       flow=args.flow)
+                       flow=args.flow, compute_dtype=args.compute_dtype)
 
-    common = dict(dataset_kind='rna', cutoff_l=cfg.cutoff_l, cutoff_g=cfg.cutoff_g)
+    common = dict(dataset_kind='rna', cutoff_l=cfg.cutoff_l, cutoff_g=cfg.cutoff_g,
+                  cache_dir=args.structure_cache or None)
     train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
                                shuffle=True, seed=args.seed, **common)
     val_loader = GraphLoader(val_mols, batch_size=args.batch_size,

@@ -44,9 +44,12 @@ class PAMNetConfig:
     # opt-in (both paths are numerically equivalent to ~1e-6).
     use_pallas_triplet: bool = False
     # Activation dtype for the message-passing stack ("float32" or
-    # "bfloat16").  Geometry, bases, and pooling stay f32; params are f32
-    # master weights cast per-use.  bf16 halves HBM traffic (the measured
-    # bottleneck on v5e) at ~1e-3 relative output error.
+    # "bfloat16").  Geometry math, segment-sum accumulation, the fusion
+    # softmax, and pooling stay f32; params are f32 master weights cast
+    # per-use.  bf16 halves HBM traffic (the measured bottleneck on v5e:
+    # +12.5% QM9 train, +11% RNA scoring) at a measured ~0.3-2.6% output
+    # shift depending on matmul precision (DEVNOTES.md round-2 findings);
+    # f32 stays the default for reference parity.
     compute_dtype: str = "float32"
     # Scatter-free aggregation via ELL tables (ops/ell.py): replaces XLA
     # scatter-adds (the measured per-step bottleneck) with gather + dense

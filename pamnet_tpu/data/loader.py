@@ -88,8 +88,30 @@ class GraphLoader:
                 for s in self.structs:
                     attach_basis(s, cutoff_l, num_spherical, num_radial,
                                  envelope_exponent)
+        own = self._worst_case_pads(align)
         if pads is None:
-            pads = self._worst_case_pads(align)
+            pads = own
+        else:
+            # Explicit pads are a MINIMUM bucket: widen any dimension this
+            # split exceeds (e.g. a test molecule with a larger aggregation
+            # group than every training molecule — sharing the train bucket
+            # verbatim crashed mid-run on exactly that).
+            import dataclasses as _dc
+
+            merged = {
+                f.name: max(getattr(pads, f.name), getattr(own, f.name))
+                for f in _dc.fields(PadSizes)
+            }
+            widened = _dc.replace(pads, **merged)
+            if widened != pads:
+                import sys
+
+                print(
+                    f"GraphLoader: widening provided pads to cover this "
+                    f"split's worst case ({pads} -> {widened})",
+                    file=sys.stderr,
+                )
+            pads = widened
         self.pads = pads
 
     def _worst_case_pads(self, align: int) -> PadSizes:

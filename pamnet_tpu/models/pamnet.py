@@ -128,15 +128,24 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
     edge_attr_rbf_l = nn.mlp(params["mlp_rbf_l"], rbf_l)
     edge_attr_rbf_g = nn.mlp(params["mlp_rbf_g"], rbf_g)
 
+    # Mixed-precision boundary starts at the (geometry-constant) spherical
+    # basis TABLES: casting them before the triplet gathers halves the
+    # dominant random-gather HBM traffic at bf16 (each gathered row costs a
+    # full 512-byte padded lane row in f32; profile: tools/rna_profile.py).
+    # The trainable Bessel part and on-device basis math stay f32.
+    cdt = jnp.dtype(cfg.compute_dtype)
+
     ns, nr = cfg.num_spherical, cfg.num_radial
     if g.sbf_radial is not None:
         # Gather the FLAT (El, ns*nr) table and expand cbf to ns*nr lanes:
         # gathering a reshaped (El, ns, nr) view materializes (T, ns, nr)
         # arrays whose minor dims tile-pad to (8, 128) — a 24x memory blowup
         # that dominated RNA inference.
+        sbf_table = g.sbf_radial.astype(cdt)
+
         def sbf_from_tables(idx, cbf):
-            cbf_rep = jnp.repeat(cbf, nr, axis=1)  # (T, ns*nr)
-            return g.sbf_radial[idx] * cbf_rep
+            cbf_rep = jnp.repeat(cbf.astype(cdt), nr, axis=1)  # (T, ns*nr)
+            return sbf_table[idx] * cbf_rep
 
         if use_two_hop:
             sbf2 = sbf_from_tables(g.t2_kj, g.cbf2)
@@ -159,9 +168,8 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
     else:
         edge_attr_sbf = nn.mlp(params["mlp_sbf"], sbf)
 
-    # ---- mixed-precision boundary: geometry/bases above stay f32; the
+    # ---- mixed-precision boundary: geometry math above stays f32; the
     # message-passing stack below runs in cfg.compute_dtype ----
-    cdt = jnp.dtype(cfg.compute_dtype)
     x = x.astype(cdt)
     edge_attr_rbf_g = edge_attr_rbf_g.astype(cdt)
     edge_attr_rbf_l = edge_attr_rbf_l.astype(cdt)
@@ -204,10 +212,11 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
         g_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *params["global_layers"])
         l_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *params["local_layers"])
         x, (og, ag, ol, al) = jax.lax.scan(body, x, (g_stack, l_stack))
-        att = jnp.stack([ag, al], axis=-1)  # (L, N, 2)
+        # f32 fusion (see the unrolled path below for why).
+        att = jnp.stack([ag, al], axis=-1).astype(jnp.float32)  # (L, N, 2)
         att = jax.nn.softmax(jax.nn.leaky_relu(att, 0.2), axis=-1)
-        out = jnp.stack([og, ol], axis=-1)
-        node_out = (out * att).sum(-1).sum(0).astype(jnp.float32)
+        out = jnp.stack([og, ol], axis=-1).astype(jnp.float32)
+        node_out = (out * att).sum(-1).sum(0)
         return _pool(node_out, g, cfg, pos)
 
     for layer in range(cfg.n_layer):
@@ -241,15 +250,17 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
         atts_l.append(att_l)
 
     # ---- fusion: 2-way plex softmax per (layer, node), summed over layers
-    # (reference: models.py:206-213) ----
+    # (reference: models.py:206-213).  Runs in f32 regardless of
+    # compute_dtype: the (L, N, 2) head arrays are tiny, and a bf16 softmax
+    # here measured as a uniform ~2.5% output bias on RNA scoring. ----
     att = jnp.stack(
         [jnp.stack(atts_g, 0)[..., 0], jnp.stack(atts_l, 0)[..., 0]], axis=-1
-    )  # (L, N, 2)
+    ).astype(jnp.float32)  # (L, N, 2)
     att = jax.nn.softmax(jax.nn.leaky_relu(att, 0.2), axis=-1)
     out = jnp.stack(
         [jnp.stack(outs_g, 0)[..., 0], jnp.stack(outs_l, 0)[..., 0]], axis=-1
-    )  # (L, N, 2)
-    node_out = (out * att).sum(-1).sum(0).astype(jnp.float32)  # (N,)
+    ).astype(jnp.float32)  # (L, N, 2)
+    node_out = (out * att).sum(-1).sum(0)  # (N,)
     return _pool(node_out, g, cfg, pos)
 
 

@@ -28,7 +28,11 @@ import jax.numpy as jnp
 
 def _ell_reduce(values: jax.Array, table: jax.Array, tmask: jax.Array) -> jax.Array:
     gathered = values[table]  # (G, K, D)
-    return jnp.sum(gathered * tmask[..., None].astype(values.dtype), axis=1)
+    # Accumulate in f32 even for bf16 streams (sums over K up to ~100 rows
+    # lose mantissa bits fast at 8-bit precision); output keeps the stream
+    # dtype.
+    return jnp.sum(gathered * tmask[..., None].astype(values.dtype), axis=1,
+                   dtype=jnp.float32).astype(values.dtype)
 
 
 @jax.custom_vjp
@@ -86,11 +90,14 @@ def segment_sum_sorted(values, seg_ids, row_mask, offsets):
 
     Precision note: group sums come out as differences of f32 prefix sums;
     relative error grows ~sqrt(R)*eps, fine at R ~ 1e6 in f32 (validated by
-    the RNA parity tests).
+    the RNA parity tests).  The scan ALWAYS accumulates in f32: a bf16
+    prefix sum over 1e5+ rows is catastrophically lossy (measured: RNA
+    scores collapsed to ~half), while f32 accumulation keeps bf16 streams at
+    ~1e-3 output error.
     """
-    s = jnp.cumsum(values, axis=0)
+    s = jnp.cumsum(values.astype(jnp.float32), axis=0)
     s = jnp.concatenate([jnp.zeros_like(s[:1]), s], axis=0)
-    return s[offsets[1:]] - s[offsets[:-1]]
+    return (s[offsets[1:]] - s[offsets[:-1]]).astype(values.dtype)
 
 
 def _sorted_fwd(values, seg_ids, row_mask, offsets):

@@ -19,13 +19,17 @@ def segment_sum(
     num_segments: int,
     indices_are_sorted: bool = False,
 ) -> jax.Array:
-    """Sum ``data`` rows into ``num_segments`` buckets (scatter-add)."""
-    return jax.ops.segment_sum(
-        data,
+    """Sum ``data`` rows into ``num_segments`` buckets (scatter-add).
+
+    bf16 streams accumulate in f32 (a bf16 scatter-add over wide segments
+    loses mantissa bits per add); the result keeps the stream dtype."""
+    out = jax.ops.segment_sum(
+        data.astype(jnp.float32) if data.dtype == jnp.bfloat16 else data,
         segment_ids,
         num_segments=num_segments,
         indices_are_sorted=indices_are_sorted,
     )
+    return out.astype(data.dtype)
 
 
 def segment_mean(

@@ -54,17 +54,40 @@ def test_prefetch_equivalent_to_iter(rng):
         np.testing.assert_array_equal(gb_a.y, gb_b.y)
 
 
-def test_prefetch_propagates_worker_errors(rng):
+def test_prefetch_propagates_worker_errors(rng, monkeypatch):
+    import pamnet_tpu.data.loader as loader_mod
+
+    loader = GraphLoader(_mols(rng, 6), "qm9", 5.0, 5.0, batch_size=3)
+
+    def boom(*a, **k):
+        raise ValueError("synthetic overflow in worker")
+
+    monkeypatch.setattr(loader_mod, "collate_structures", boom)
+    try:
+        list(loader.prefetch())
+        raise AssertionError("expected worker error to propagate")
+    except ValueError as e:
+        assert "overflow" in str(e)
+
+
+def test_undersized_pads_are_widened(rng):
+    """Explicit pads are a minimum bucket: a split whose molecules exceed
+    them (e.g. a test split sharing the train bucket) must widen instead of
+    crashing mid-run with an overflow."""
     from pamnet_tpu.data.batch import PadSizes
 
     mols = _mols(rng, 6)
-    tiny = PadSizes(n=8, eg=8, el=8, t2=8, t1=8, g=8)  # guaranteed overflow
+    tiny = PadSizes(n=8, eg=8, el=8, t2=8, t1=8, g=8)
     loader = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=3, pads=tiny)
-    try:
-        list(loader.prefetch())
-        raise AssertionError("expected padding overflow to propagate")
-    except ValueError as e:
-        assert "overflow" in str(e)
+    assert loader.pads.n >= 8 and loader.pads.eg > 8
+    batches = list(loader)  # must not raise
+    assert len(batches) == 2
+    # And pads at least as large as the auto bucket in every dimension.
+    auto = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=3).pads
+    import dataclasses
+
+    for f in dataclasses.fields(PadSizes):
+        assert getattr(loader.pads, f.name) >= getattr(auto, f.name)
 
 
 def test_drop_last(rng):

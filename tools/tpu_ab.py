@@ -140,12 +140,66 @@ def exp_pallas():
     _run_scan("pallas", "pallas_mxu", cfgp, state, tiled_0, n_steps, bs)
 
 
+def exp_rna():
+    """RNA scoring (bundled data + checkpoint): f32 vs bf16 compute.
+    Profile (tools/rna_profile.py) shows the forward is bandwidth-bound on
+    random dim-16 gathers; bf16 halves every padded lane-row read."""
+    import os
+
+    from pamnet_tpu.data.tu import TUDataset
+    from pamnet_tpu.models import apply_pamnet
+    from pamnet_tpu.train.checkpoint import load_torch_checkpoint
+    from pamnet_tpu.utils.runtime import resolve_path
+
+    ref = os.environ.get("PAMNET_REFERENCE_ROOT", "/root/reference")
+    data_root = resolve_path("./data/RNA-Puzzles",
+                             f"{ref}/data/RNA-Puzzles")
+    ckpt = resolve_path("./save/pamnet_rna.pt", f"{ref}/save/pamnet_rna.pt")
+    cfg = PAMNetConfig(dataset="rna_native", dim=16, n_layer=1, cutoff_l=2.6,
+                       cutoff_g=20.0, flow="target_to_source")
+    params = load_torch_checkpoint(ckpt)
+    mols = TUDataset(data_root, "rna_native").molecules()
+    loader = GraphLoader(mols, "rna", cfg.cutoff_l, cfg.cutoff_g,
+                         batch_size=16, build_tables=False)
+    batches = [jax.tree.map(jnp.asarray, gb) for gb in loader]
+
+    def run(variant, c):
+        fwd = jax.jit(lambda p, g, acc: acc + apply_pamnet(p, g, c).sum())
+        acc = jnp.float32(0.0)
+        t0 = time.time()
+        for gb in batches:
+            acc = fwd(params, gb, acc)
+        ref_sum = float(acc)
+        print(f"  [{variant}] compile+first: {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        best = None
+        for _ in range(3):
+            reps = 10
+            acc = jnp.float32(0.0)
+            t0 = time.time()
+            for _ in range(reps):
+                for gb in batches:
+                    acc = fwd(params, gb, acc)
+            _ = float(acc)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        gps = 10 * len(mols) / best
+        print(f"AB rna variant={variant} graphs_s={gps:.1f} "
+              f"score_sum={ref_sum:.4f}")
+        return gps
+
+    a = run("f32", cfg)
+    b = run("bf16", dataclasses.replace(cfg, compute_dtype="bfloat16"))
+    a2 = run("f32_again", cfg)
+    print(f"AB rna speedup={b/max(a,a2):.3f}x (vs best f32)")
+
+
 def main():
     enable_compilation_cache()
     print(f"devices: {jax.devices()}", file=sys.stderr)
     which = sys.argv[1:] or ["dtype"]
     for w in which:
-        {"dtype": exp_dtype, "pallas": exp_pallas}[w]()
+        {"dtype": exp_dtype, "pallas": exp_pallas, "rna": exp_rna}[w]()
 
 
 if __name__ == "__main__":
