@@ -62,11 +62,18 @@ def main():
                         help='Activation dtype for the message-passing stack')
     parser.add_argument('--precision', type=str, default='float32',
                         choices=['default', 'float32'])
+    parser.add_argument('--dp', type=int, default=0,
+                        help='Data-parallel devices (0 = single device)')
+    parser.add_argument('--scan_steps', type=int, default=1,
+                        help='Optimizer steps per device dispatch')
     args = parser.parse_args()
 
     set_seed(args.seed)
-    from pamnet_tpu.utils.runtime import set_matmul_precision, set_platform
+    from pamnet_tpu.utils.runtime import (
+        ensure_devices, set_matmul_precision, set_platform,
+    )
     set_platform(args.platform)
+    ensure_devices(args.dp)
     enable_compilation_cache()
     set_matmul_precision(args.precision)
 
@@ -78,7 +85,7 @@ def main():
     from pamnet_tpu.data.tu import TUDataset
     from pamnet_tpu.models import count_parameters, init_pamnet
     from pamnet_tpu.train.loop import (
-        init_train_state, make_multistep_eval, make_optimizer, make_train_step,
+        EpochRunner, init_train_state, make_multistep_eval, make_optimizer,
     )
     from pamnet_tpu.train.schedules import multistep
 
@@ -113,12 +120,15 @@ def main():
 
     params = init_pamnet(jax.random.PRNGKey(args.seed), cfg)
     print("Number of model parameters:", count_parameters(params))
+    dp = max(args.dp, 0)
     optimizer = make_optimizer(
-        multistep(args.lr, steps_per_epoch=len(train_loader)),
+        multistep(args.lr,
+                  steps_per_epoch=max(len(train_loader) // max(dp, 1), 1)),
         weight_decay=args.wd,
     )
     state = init_train_state(params, optimizer, use_ema=False)
-    step_fn = make_train_step(cfg, optimizer, "mse", ema_decay=None)
+    runner = EpochRunner(cfg, optimizer, "mse", ema_decay=None, dp=dp,
+                         scan_steps=args.scan_steps)
     eval_run = make_multistep_eval(cfg)
 
     def to_device(gb):
@@ -133,8 +143,7 @@ def main():
     test_metrics = (float('nan'),) * 4
     for epoch in range(args.epochs):
         t0 = time.time()
-        for gb in train_loader.prefetch():
-            state, loss = step_fn(state, to_device(gb))
+        state, _, _, _ = runner.run(state, train_loader.prefetch(), to_device)
         train_m = train_eval(state.params)
         val_m = val_eval(state.params)
         if best_val_rmse is None or val_m[0] < best_val_rmse:

@@ -108,10 +108,7 @@ def main():
     from pamnet_tpu.data.loader import GraphLoader
     from pamnet_tpu.models import count_parameters, init_pamnet
     from pamnet_tpu.train.checkpoint import save_checkpoint
-    from pamnet_tpu.train.loop import (
-        init_train_state, make_dp_train_step, make_mesh,
-        make_optimizer, make_train_step, stack_microbatches,
-    )
+    from pamnet_tpu.train.loop import init_train_state, make_optimizer
     from pamnet_tpu.train.schedules import warmup_exponential
 
     # ---- dataset (reference split: shuffle; 110k/10k/rest, main_qm9.py:71-76) ----
@@ -180,15 +177,9 @@ def main():
     def to_device(gb):
         return jax.tree.map(jnp.asarray, gb)
 
-    scan_steps = max(args.scan_steps, 1)
-    if dp > 1:
-        mesh = make_mesh(dp)
-        step_fn = make_dp_train_step(cfg, optimizer, "l1", mesh, ema_decay=0.999)
-    elif scan_steps > 1:
-        from pamnet_tpu.train.loop import make_multistep_train_step
-        step_fn = make_multistep_train_step(cfg, optimizer, "l1", ema_decay=0.999)
-    else:
-        step_fn = make_train_step(cfg, optimizer, "l1", ema_decay=0.999)
+    from pamnet_tpu.train.loop import EpochRunner
+    runner = EpochRunner(cfg, optimizer, "l1", ema_decay=0.999, dp=dp,
+                         scan_steps=args.scan_steps)
 
     save_folder = osp.join('.', args.save_dir, args.dataset)
     os.makedirs(save_folder, exist_ok=True)
@@ -213,52 +204,14 @@ def main():
         tracing = trace(args.trace_dir) if (args.trace_dir and epoch == 0) \
             else contextlib.nullcontext()
         t0 = time.time()
-        # Per-batch losses are means over valid graphs; weight them by the
-        # batch's valid-graph count so train MAE matches the reference's
-        # num_graphs-weighted accounting (main_qm9.py:109,119) even if batch
-        # sizes ever vary.
-        loss_sum, ng, nb = 0.0, 0.0, 0
-
-        def _count(gb):
-            return float(np.asarray(gb.graph_mask).sum())
-
-        it = train_loader.prefetch()
+        # Per-batch losses are means over valid graphs; EpochRunner weights
+        # them by the batch's valid-graph count so train MAE matches the
+        # reference's num_graphs-weighted accounting (main_qm9.py:109,119)
+        # even if batch sizes ever vary.
         with tracing:
-            if dp > 1:
-                group, gcount = [], 0.0
-                for gb in it:
-                    gcount += _count(gb)
-                    group.append(to_device(gb))
-                    if len(group) == dp:
-                        state, loss = step_fn(state, stack_microbatches(group))
-                        loss_sum += float(loss) * gcount; ng += gcount; nb += 1
-                        group, gcount = [], 0.0
-                if group:  # trailing partial device group, stepped singly
-                    single = make_train_step(cfg, optimizer, "l1", ema_decay=0.999)
-                    for gb in group:
-                        c = _count(gb)
-                        state, loss = single(state, gb)
-                        loss_sum += float(loss) * c; ng += c; nb += 1
-            elif scan_steps > 1:
-                group, counts = [], []
-                for gb in it:
-                    counts.append(_count(gb))
-                    group.append(to_device(gb))
-                    if len(group) == scan_steps:
-                        state, losses = step_fn(state, stack_microbatches(group))
-                        loss_sum += float(np.asarray(losses) @ np.asarray(counts))
-                        ng += sum(counts); nb += len(group)
-                        group, counts = [], []
-                if group:  # trailing partial block, stepped one by one
-                    single = make_train_step(cfg, optimizer, "l1", ema_decay=0.999)
-                    for gb, c in zip(group, counts):
-                        state, loss = single(state, gb)
-                        loss_sum += float(loss) * c; ng += c; nb += 1
-            else:
-                for gb in it:
-                    c = _count(gb)
-                    state, loss = step_fn(state, to_device(gb))
-                    loss_sum += float(loss) * c; ng += c; nb += 1
+            state, loss_sum, ng, nb = runner.run(
+                state, train_loader.prefetch(), to_device
+            )
         train_loss = loss_sum / max(ng, 1.0)
 
         # Eval under EMA weights (reference: main_qm9.py:29-37,120).

@@ -59,6 +59,10 @@ def main():
                         help='Flow direction of message passing')
     parser.add_argument('--data_root', type=str, default=None)
     parser.add_argument('--platform', type=str, default='auto')
+    parser.add_argument('--dp', type=int, default=0,
+                        help='Data-parallel devices (0 = single device)')
+    parser.add_argument('--scan_steps', type=int, default=1,
+                        help='Optimizer steps per device dispatch')
     parser.add_argument('--structure_cache', type=str, default='',
                         help='Directory for the on-disk precomputed-structure '
                              'cache (data/structcache.py)')
@@ -70,8 +74,11 @@ def main():
     args = parser.parse_args()
 
     set_seed(args.seed)
-    from pamnet_tpu.utils.runtime import set_matmul_precision, set_platform
+    from pamnet_tpu.utils.runtime import (
+        ensure_devices, set_matmul_precision, set_platform,
+    )
     set_platform(args.platform)
+    ensure_devices(args.dp)
     enable_compilation_cache()
     set_matmul_precision(args.precision)
 
@@ -84,7 +91,7 @@ def main():
     from pamnet_tpu.models import count_parameters, init_pamnet
     from pamnet_tpu.train.checkpoint import save_checkpoint
     from pamnet_tpu.train.loop import (
-        init_train_state, make_optimizer, make_train_step,
+        EpochRunner, init_train_state, make_optimizer,
     )
     from pamnet_tpu.train.schedules import constant
 
@@ -113,7 +120,8 @@ def main():
     print("Number of model parameters:", count_parameters(params))
     optimizer = make_optimizer(constant(args.lr), weight_decay=args.wd)
     state = init_train_state(params, optimizer, use_ema=False)
-    step_fn = make_train_step(cfg, optimizer, "smooth_l1", ema_decay=None)
+    runner = EpochRunner(cfg, optimizer, "smooth_l1", ema_decay=None,
+                         dp=max(args.dp, 0), scan_steps=args.scan_steps)
     from pamnet_tpu.train.loop import make_multistep_eval
     eval_run = make_multistep_eval(cfg)
 
@@ -128,8 +136,7 @@ def main():
     best_val_loss = None
     for epoch in range(args.epochs):
         t0 = time.time()
-        for gb in train_loader.prefetch():
-            state, loss = step_fn(state, to_device(gb))
+        state, _, _, _ = runner.run(state, train_loader.prefetch(), to_device)
         train_loss, _ = train_eval(state.params)
         val_loss, _ = val_eval(state.params)
         print(f'Epoch: {epoch+1:03d}, Train Loss: {train_loss:.7f}, '

@@ -255,3 +255,84 @@ def stack_step_blocks(blocks: list[list[GraphBatch]]) -> GraphBatch:
     ``make_dp_multistep_train_step``."""
     stacked_blocks = [stack_microbatches(b) for b in blocks]
     return jax.tree.map(lambda *xs: jnp.stack(xs, 0), *stacked_blocks)
+
+
+class EpochRunner:
+    """Drives one training epoch in any of the three execution modes shared
+    by the CLI drivers (single-step, lax.scan multi-step blocks, shard_map
+    data-parallel groups), with the reference's num_graphs-weighted loss
+    accounting (reference main_qm9.py:109,119).
+
+    Builds each jitted step exactly once (including the single-batch step
+    used for trailing partial groups/blocks — re-jitting it per epoch would
+    pay a fresh trace+compile every epoch).
+    """
+
+    def __init__(self, cfg: PAMNetConfig, optimizer, loss_kind: str, *,
+                 ema_decay: float | None = None, dp: int = 0,
+                 scan_steps: int = 1):
+        self.dp = max(dp, 0)
+        self.scan_steps = max(scan_steps, 1)
+        if self.dp > 1:
+            mesh = make_mesh(self.dp)
+            self.step_fn = make_dp_train_step(cfg, optimizer, loss_kind, mesh,
+                                              ema_decay=ema_decay)
+        elif self.scan_steps > 1:
+            self.step_fn = make_multistep_train_step(cfg, optimizer, loss_kind,
+                                                     ema_decay=ema_decay)
+        else:
+            self.step_fn = make_train_step(cfg, optimizer, loss_kind,
+                                           ema_decay=ema_decay)
+        self._single = (
+            self.step_fn
+            if self.dp <= 1 and self.scan_steps <= 1
+            else make_train_step(cfg, optimizer, loss_kind, ema_decay=ema_decay)
+        )
+
+    @property
+    def group_size(self) -> int:
+        """Optimizer steps per epoch divide by this under data parallelism."""
+        return self.dp if self.dp > 1 else 1
+
+    def run(self, state: TrainState, batches, to_device):
+        """Consume an iterable of host batches; returns
+        ``(state, loss_sum, n_graphs, n_dispatches)`` where ``loss_sum`` is
+        the num-graphs-weighted sum of per-step mean losses."""
+        import numpy as np
+
+        def count(gb):
+            return float(np.asarray(gb.graph_mask).sum())
+
+        loss_sum, ng, nb = 0.0, 0.0, 0
+        if self.dp > 1:
+            group, gcount = [], 0.0
+            for gb in batches:
+                gcount += count(gb)
+                group.append(to_device(gb))
+                if len(group) == self.dp:
+                    state, loss = self.step_fn(state, stack_microbatches(group))
+                    loss_sum += float(loss) * gcount; ng += gcount; nb += 1
+                    group, gcount = [], 0.0
+            for gb in group:  # trailing partial device group, stepped singly
+                c = count(gb)
+                state, loss = self._single(state, gb)
+                loss_sum += float(loss) * c; ng += c; nb += 1
+        elif self.scan_steps > 1:
+            group, counts = [], []
+            for gb in batches:
+                counts.append(count(gb))
+                group.append(to_device(gb))
+                if len(group) == self.scan_steps:
+                    state, losses = self.step_fn(state, stack_microbatches(group))
+                    loss_sum += float(np.asarray(losses) @ np.asarray(counts))
+                    ng += sum(counts); nb += len(group)
+                    group, counts = [], []
+            for gb, c in zip(group, counts):  # trailing partial block
+                state, loss = self._single(state, gb)
+                loss_sum += float(loss) * c; ng += c; nb += 1
+        else:
+            for gb in batches:
+                c = count(gb)
+                state, loss = self.step_fn(state, to_device(gb))
+                loss_sum += float(loss) * c; ng += c; nb += 1
+        return state, loss_sum, ng, nb

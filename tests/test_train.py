@@ -216,3 +216,46 @@ def test_eval_step(rng):
     pred = ev(params, batch)
     assert pred.shape == batch.y.shape
     assert np.all(np.isfinite(np.asarray(pred)))
+
+
+@pytest.mark.parametrize("mode", [{"dp": 2}, {"scan_steps": 2}])
+def test_epoch_runner_trailing_group_matches_sequential(rng, mode):
+    """EpochRunner with 5 batches and group size 2 (2 full groups + 1
+    trailing single) must produce the same final params and weighted loss
+    accounting as plain sequential single-batch stepping."""
+    import optax
+
+    from pamnet_tpu.train.loop import EpochRunner
+
+    batches = [_batch(rng, n_mols=2) for _ in range(5)]
+    params = init_pamnet(jax.random.PRNGKey(1), CFG)
+    opt = optax.sgd(0.05)
+
+    runner = EpochRunner(CFG, opt, "l1", ema_decay=None, **mode)
+    state, loss_sum, ng, nb = runner.run(
+        init_train_state(params, opt, use_ema=False), iter(batches),
+        lambda gb: jax.tree.map(jnp.asarray, gb),
+    )
+
+    seq = make_train_step(CFG, opt, "l1", ema_decay=None)
+    state_ref = init_train_state(params, opt, use_ema=False)
+    ref_loss_sum = ref_ng = 0.0
+    for gb in batches:
+        c = float(np.asarray(gb.graph_mask).sum())
+        state_ref, loss = seq(state_ref, jax.tree.map(jnp.asarray, gb))
+        ref_loss_sum += float(loss) * c
+        ref_ng += c
+    # dp groups D batches into ONE optimizer step; scan replays each batch
+    # as its own step.
+    expected_steps = 3 if "dp" in mode else 5
+    assert int(state.step) == expected_steps and ng == ref_ng
+    if "scan_steps" in mode:
+        # Identical math, identical order -> near-bitwise.
+        np.testing.assert_allclose(loss_sum, ref_loss_sum, rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(state_ref.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    else:
+        # DP groups average two batches per step (different but equally
+        # valid accounting); just require the run to have stepped sanely.
+        assert nb == 3 and np.isfinite(loss_sum)
