@@ -9,7 +9,6 @@ a real TPU pod slice.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -297,38 +296,49 @@ class EpochRunner:
     def run(self, state: TrainState, batches, to_device):
         """Consume an iterable of host batches; returns
         ``(state, loss_sum, n_graphs, n_dispatches)`` where ``loss_sum`` is
-        the num-graphs-weighted sum of per-step mean losses."""
+        the num-graphs-weighted sum of per-step mean losses.
+
+        Groups are stacked on the HOST (np.stack) and transferred once —
+        stacking device-resident microbatches issues one jnp.stack dispatch
+        per pytree leaf per group, which dominated epoch time over this
+        pool's remote-TPU tunnel (~40 s/epoch -> host-stacked ~4 s)."""
         import numpy as np
 
         def count(gb):
             return float(np.asarray(gb.graph_mask).sum())
+
+        def stack_host(group):
+            return to_device(
+                jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                             *group)
+            )
 
         loss_sum, ng, nb = 0.0, 0.0, 0
         if self.dp > 1:
             group, gcount = [], 0.0
             for gb in batches:
                 gcount += count(gb)
-                group.append(to_device(gb))
+                group.append(gb)
                 if len(group) == self.dp:
-                    state, loss = self.step_fn(state, stack_microbatches(group))
+                    state, loss = self.step_fn(state, stack_host(group))
                     loss_sum += float(loss) * gcount; ng += gcount; nb += 1
                     group, gcount = [], 0.0
             for gb in group:  # trailing partial device group, stepped singly
                 c = count(gb)
-                state, loss = self._single(state, gb)
+                state, loss = self._single(state, to_device(gb))
                 loss_sum += float(loss) * c; ng += c; nb += 1
         elif self.scan_steps > 1:
             group, counts = [], []
             for gb in batches:
                 counts.append(count(gb))
-                group.append(to_device(gb))
+                group.append(gb)
                 if len(group) == self.scan_steps:
-                    state, losses = self.step_fn(state, stack_microbatches(group))
+                    state, losses = self.step_fn(state, stack_host(group))
                     loss_sum += float(np.asarray(losses) @ np.asarray(counts))
                     ng += sum(counts); nb += len(group)
                     group, counts = [], []
             for gb, c in zip(group, counts):  # trailing partial block
-                state, loss = self._single(state, gb)
+                state, loss = self._single(state, to_device(gb))
                 loss_sum += float(loss) * c; ng += c; nb += 1
         else:
             for gb in batches:

@@ -11,6 +11,8 @@ import pytest
 
 from pamnet_tpu.data.tu_writer import write_tu_dataset
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -26,9 +26,12 @@ from pamnet_tpu.data.tu import TUDataset
 from pamnet_tpu.models import apply_pamnet
 from pamnet_tpu.train.checkpoint import load_torch_checkpoint, load_torch_state_dict
 
-pytestmark = pytest.mark.skipif(
-    not reference_available(), reason="reference artifacts not mounted"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not reference_available(), reason="reference artifacts not mounted"
+    ),
+    pytest.mark.slow,
+]
 
 CKPT = os.path.join(REFERENCE_ROOT, "save", "pamnet_rna.pt")
 DATA = os.path.join(REFERENCE_ROOT, "data", "RNA-Puzzles")

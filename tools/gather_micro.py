@@ -58,5 +58,37 @@ def main():
                   f"{dt*1e6:.0f} us, {gbps:.1f} GB/s effective")
 
 
+def rna_real():
+    """Time pure gathers with the REAL RNA triplet indices (t2_kj vs t1_jj)
+    to isolate why the t1 gather measured 5.6x slower in the full forward
+    (tools/rna_profile.py fusion.12 vs fusion.11)."""
+    from pamnet_tpu.data.loader import GraphLoader
+    from pamnet_tpu.data.tu import TUDataset
+
+    ref = os.environ.get("PAMNET_REFERENCE_ROOT", "/root/reference")
+    mols = TUDataset(os.path.join(ref, "data", "RNA-Puzzles"),
+                     "rna_native").molecules()
+    loader = GraphLoader(mols, "rna", 2.6, 20.0, batch_size=16,
+                         build_tables=False)
+    gb = next(iter(loader))
+    rng = np.random.default_rng(0)
+    el, t2, t1 = gb.el_src.shape[0], gb.t2_kj.shape[0], gb.t1_jj.shape[0]
+    for d in (16, 42):
+        x = jnp.asarray(rng.normal(size=(el, d)).astype(np.float32))
+        for tag, idx in (
+            ("t2_kj", gb.t2_kj),
+            ("t1_jj", gb.t1_jj),
+            ("t1_jj_sorted", np.sort(gb.t1_jj)),
+            ("uniform_random", rng.integers(0, el, size=t1).astype(np.int32)),
+        ):
+            dt, gbps = bench(x, jnp.asarray(idx), False, reps=30)
+            print(f"gather ({el},{d}) <- {len(idx)} [{tag}]: "
+                  f"{dt*1e3:.2f} ms, {gbps:.1f} GB/s effective")
+
+
 if __name__ == "__main__":
-    main()
+    if "rna" in sys.argv[1:]:
+        enable_compilation_cache()
+        rna_real()
+    else:
+        main()
