@@ -65,3 +65,55 @@ def test_plan_overflow_raises():
     tiny = dataclasses.replace(loader.pads, t1=8)
     with pytest.raises(ValueError, match="padding overflow"):
         collate_structures(None, tiny, plan=plan, idxs=list(range(8)))
+
+
+def test_plan_matches_list_path_rna_and_pdbbind():
+    """Plan collation must also match for the other dataset shapes: RNA-like
+    (knn graphs, no feat) and PDBbind-like (18-dim feat, zero-z) — including
+    inference mode (build_tables=False) used by the RNA scoring path."""
+    rng = np.random.default_rng(21)
+    rna_mols = []
+    for _ in range(6):
+        n = int(rng.integers(20, 30))
+        rna_mols.append({
+            "pos": rng.normal(size=(n, 3)).astype(np.float32) * 4,
+            "z": rng.integers(0, 3, size=n).astype(np.int32),
+            "y": float(abs(rng.normal())),
+        })
+    pdb_mols = []
+    for i in range(6):
+        n = int(rng.integers(10, 16))
+        pos = rng.normal(size=(n, 3)).astype(np.float32) * 3
+        if i % 2:
+            pos[:, 0] += 100
+        pdb_mols.append({
+            "pos": pos,
+            "feat": rng.normal(size=(n, 18)).astype(np.float32),
+            "y": float(rng.normal()),
+        })
+    for mols, kind, cl, cg in ((rna_mols, "rna", 2.6, 20.0),
+                               (pdb_mols, "pdbbind", 2.0, 6.0)):
+        for build_tables in (True, False):
+            loader = GraphLoader(mols, kind, cl, cg, batch_size=3,
+                                 build_tables=build_tables)
+            plan = CollatePlan(loader.structs)
+            for idxs in loader.batches():
+                a = collate_structures([loader.structs[i] for i in idxs],
+                                       loader.pads, build_tables=build_tables)
+                b = collate_structures(None, loader.pads,
+                                       build_tables=build_tables,
+                                       plan=plan, idxs=idxs)
+                _assert_batch_equal(a, b)
+
+
+def test_plan_from_structcache_roundtrip(tmp_path):
+    """Structures loaded back from the disk cache must collate identically
+    through the plan path (dtype/contiguity of cached arrays)."""
+    from pamnet_tpu.data.synthetic import synthetic_qm9_dataset as synth
+
+    mols = synth(6, seed=31)
+    direct = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=3)
+    cached = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=3,
+                         cache_dir=str(tmp_path))
+    for a, b in zip(direct, cached):
+        _assert_batch_equal(a, b)

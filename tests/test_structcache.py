@@ -134,3 +134,12 @@ def test_loader_uses_cache(tmp_path):
                     np.testing.assert_array_equal(fa[k], fb[k])
             elif fa is not None:
                 np.testing.assert_array_equal(fa, fb)
+
+
+def test_parallel_pool_build(tmp_path):
+    """num_workers > 1 builds missing chunks in a spawn pool; results must
+    equal the in-process build."""
+    mols = synthetic_qm9_dataset(8, seed=8)
+    got = load_or_build(mols, SPEC, str(tmp_path), chunk_size=2, num_workers=2)
+    _assert_structs_equal(got, _direct(mols, SPEC))
+    assert len(glob.glob(str(tmp_path / "*.npz"))) == 4
