@@ -28,10 +28,10 @@ class StackedEval:
     static; stacking them once removes per-batch dispatch latency)."""
 
     def __init__(self, eval_run, loader, to_device):
-        from pamnet_tpu.train.loop import stack_microbatches
+        from pamnet_tpu.train.loop import stack_microbatches_host
 
-        batches = [to_device(gb) for gb in loader]
-        self.stacked = stack_microbatches(batches)
+        batches = list(loader)  # host batches; stack on host, transfer once
+        self.stacked = to_device(stack_microbatches_host(batches))
         self.mask = np.concatenate([np.asarray(b.graph_mask) for b in batches]) > 0
         self.y = np.concatenate([np.asarray(b.y) for b in batches])
         self.run = eval_run

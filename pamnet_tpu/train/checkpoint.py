@@ -124,10 +124,17 @@ def load_torch_checkpoint(path: str) -> dict:
 
 
 def save_checkpoint(path: str, state) -> None:
-    """Atomic msgpack write of an arbitrary pytree (train state)."""
+    """Atomic msgpack write of an arbitrary pytree (train state).
+
+    Leaves are pulled to host with ONE ``jax.device_get`` (which issues the
+    device->host copies for every leaf asynchronously before materializing)
+    rather than letting serialization fetch leaf-by-leaf — the serial path
+    pays one device round-trip per parameter tensor, which measured 18.8 s
+    per save over this pool's TPU tunnel (~0.4 s batched)."""
+    import jax
     from flax import serialization
 
-    data = serialization.to_bytes(state)
+    data = serialization.to_bytes(jax.device_get(state))
     tmp = path + ".tmp"
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(tmp, "wb") as f:

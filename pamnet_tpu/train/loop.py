@@ -174,6 +174,17 @@ def stack_microbatches(batches: list[GraphBatch]) -> GraphBatch:
     return jax.tree.map(lambda *xs: jnp.stack(xs, 0), *batches)
 
 
+def stack_microbatches_host(batches: list[GraphBatch]) -> GraphBatch:
+    """np.stack variant for HOST batches: one numpy array per leaf, so a
+    later device transfer is one copy per leaf instead of a jnp.stack
+    dispatch per leaf per group (each dispatch pays a round-trip on this
+    pool's remote-TPU tunnel)."""
+    import numpy as np
+
+    return jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                        *batches)
+
+
 def make_dp_train_step(cfg: PAMNetConfig, optimizer, loss_kind: str, mesh: Mesh,
                        ema_decay: float | None = 0.999, axis: str = "dp"):
     """Data-parallel train step: batch has leading device axis D; gradients
