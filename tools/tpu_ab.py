@@ -8,7 +8,7 @@ Experiments (select with argv[1:], default: dtype):
   pallas  native-TPU evidence for ops/pallas_triplet.py: ELL tables vs XLA
           scatter vs the Pallas MXU kernel at a config that passes the VMEM
           gate (batch 8, align=256).
-  rnapack lane-packing A/B for the RNA local/sbf chain (see ops/packing.py).
+  rna     RNA scoring f32 vs bf16 compute (bundled data + checkpoint).
 
 Each experiment prints one `AB <name> variant=... mol_s=...` line per variant.
 """
