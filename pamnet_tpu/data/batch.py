@@ -239,8 +239,10 @@ def precompute_structure(
     s = {
         "pos": pos,
         "y": np.float32(mol["y"]),
-        "eg": eg.astype(np.int32),
-        "el": el.astype(np.int32),
+        # C-contiguous so CollatePlan can address rows as views (a strided
+        # (2,E) would force per-struct copies, disabling plan.verify()).
+        "eg": np.ascontiguousarray(eg, np.int32),
+        "el": np.ascontiguousarray(el, np.int32),
         "t2": t2,
         "t1": t1,
         "dist_g": np.sqrt(((p64[eg[1]] - p64[eg[0]]) ** 2).sum(-1)).astype(np.float32),
@@ -393,7 +395,14 @@ class CollatePlan:
     work at batch time (measured ~3x faster than the numpy path at the QM9
     recipe; see DEVNOTES.md).
 
-    Holds references to every source array (addresses must stay alive)."""
+    Holds references to every source array (addresses must stay alive).
+    Structures are treated as FROZEN after plan construction: replacing any
+    field array (e.g. re-running ``attach_basis``, or mutating
+    ``loader.structs``) would leave baked addresses pointing at freed/stale
+    memory.  ``verify(i)`` cheaply re-checks one structure's live addresses
+    against the baked tables and is called once per collated batch — a
+    wholesale re-attachment is caught on the next batch instead of
+    producing silent garbage."""
 
     def __init__(self, structs: list[dict]):
         from pamnet_tpu.data import native
@@ -423,14 +432,22 @@ class CollatePlan:
             return a
 
         self._extra: list = []
+        # Struct indices whose plan arrays are private copies (2-D row views
+        # normalized into self._extra) — live addresses can't be compared.
+        self._unverifiable: set[int] = set()
         self.addr: dict[str, np.ndarray] = {}
         self.len: dict[str, np.ndarray] = {}
+        self._paths: dict[str, tuple] = {}
         n = len(structs)
         for key, path, _, _ in _INT_FIELDS:
+            self._paths[key] = tuple(path)
             addrs = np.empty(n, np.uint64)
             lens = np.empty(n, np.int64)
             for i, s in enumerate(structs):
+                n_extra = len(self._extra)
                 a = norm(s, path)
+                if len(self._extra) != n_extra:
+                    self._unverifiable.add(i)
                 ai = a.__array_interface__
                 addrs[i], lens[i] = ai["data"][0], a.shape[0]
             self.addr[key], self.len[key] = addrs, lens
@@ -442,6 +459,7 @@ class CollatePlan:
         self.row_w: dict[str, int] = {}
         self.trailing: dict[str, tuple] = {}
         for key in self.f32_keys:
+            self._paths[key] = (key,)
             a0 = s0[key]
             self.row_w[key] = int(np.prod(a0.shape[1:], dtype=np.int64)) if a0.ndim > 1 else 1
             self.trailing[key] = a0.shape[1:]
@@ -455,6 +473,22 @@ class CollatePlan:
                 ai = a.__array_interface__
                 addrs[i], lens[i] = ai["data"][0], a.shape[0]
             self.addr[key], self.len[key] = addrs, lens
+
+    def verify(self, i: int) -> None:
+        """Assert structure ``i``'s live array addresses still match the
+        baked tables (O(#fields); ~tens of µs).  Catches the frozen-structs
+        contract being broken (see class docstring)."""
+        if i in self._unverifiable:
+            return
+        s = self._keep[i]
+        for key, path in self._paths.items():
+            a = _get(s, path)
+            if a.__array_interface__["data"][0] != int(self.addr[key][i]):
+                raise RuntimeError(
+                    f"CollatePlan is stale: structure {i} field {key!r} was "
+                    f"replaced after the plan was built (structs are frozen "
+                    f"once a CollatePlan exists — rebuild the plan / loader)"
+                )
 
     def cat_i32(self, key: str, idxs, offs: np.ndarray, size: int) -> np.ndarray:
         from pamnet_tpu.data import native
@@ -486,6 +520,7 @@ def collate_structures(structs: list[dict], pads: PadSizes | None = None,
     if plan is not None:
         idxs = np.asarray(idxs)
         nb = len(idxs)
+        plan.verify(int(idxs[0]))
         n_per = plan.len["pos"][idxs]
         el_per = plan.len["el_src"][idxs]
         n_eg = int(plan.len["eg_src"][idxs].sum())

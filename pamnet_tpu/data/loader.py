@@ -32,6 +32,10 @@ class GraphLoader:
       dataset_kind: "qm9" | "pdbbind" | "rna".
       pads: fixed bucket; if None, computed from the dataset's worst-case
         batch so every batch compiles to a single shape.
+      strict_pads: with explicit ``pads``, raise instead of silently widening
+        when this split exceeds them.  Multi-process DP callers MUST use this
+        (or pre-compute global worst-case pads): per-process widening would
+        diverge batch shapes across shards and break shard_map collectives.
       drop_last: drop the trailing partial batch (training) or pad it (eval).
     """
 
@@ -46,6 +50,7 @@ class GraphLoader:
         shuffle: bool = False,
         seed: int = 0,
         pads: PadSizes | None = None,
+        strict_pads: bool = False,
         drop_last: bool = False,
         align: int = 128,
         build_tables: bool = True,
@@ -104,12 +109,20 @@ class GraphLoader:
             }
             widened = _dc.replace(pads, **merged)
             if widened != pads:
-                import sys
+                if strict_pads:
+                    raise ValueError(
+                        f"provided pads do not cover this split's worst case "
+                        f"({pads} vs required {widened}); strict_pads=True "
+                        f"forbids widening (shared compiled shapes)"
+                    )
+                import warnings
 
-                print(
+                warnings.warn(
                     f"GraphLoader: widening provided pads to cover this "
-                    f"split's worst case ({pads} -> {widened})",
-                    file=sys.stderr,
+                    f"split's worst case ({pads} -> {widened}); multi-process "
+                    f"callers must pre-compute global pads or use "
+                    f"strict_pads=True",
+                    stacklevel=2,
                 )
             pads = widened
         self.pads = pads

@@ -90,12 +90,15 @@ def segment_sum_sorted(values, seg_ids, row_mask, offsets):
 
     Precision note: group sums come out as differences of f32 prefix sums;
     relative error grows ~sqrt(R)*eps, fine at R ~ 1e6 in f32 (validated by
-    the RNA parity tests).  The scan ALWAYS accumulates in f32: a bf16
-    prefix sum over 1e5+ rows is catastrophically lossy (measured: RNA
-    scores collapsed to ~half), while f32 accumulation keeps bf16 streams at
-    ~1e-3 output error.
+    the RNA parity tests).  Low-precision streams (bf16/f16, itemsize < 4)
+    are ALWAYS upcast to f32 for the scan: a bf16 prefix sum over 1e5+ rows
+    is catastrophically lossy (measured: RNA scores collapsed to ~half),
+    while f32 accumulation keeps bf16 streams at ~1e-3 output error.
+    f32 scans natively; f64 (jax x64 oracle paths) keeps f64 accumulation
+    rather than being silently downcast.
     """
-    s = jnp.cumsum(values.astype(jnp.float32), axis=0)
+    acc = jnp.float32 if jnp.dtype(values.dtype).itemsize < 4 else values.dtype
+    s = jnp.cumsum(values.astype(acc), axis=0)
     s = jnp.concatenate([jnp.zeros_like(s[:1]), s], axis=0)
     return (s[offsets[1:]] - s[offsets[:-1]]).astype(values.dtype)
 

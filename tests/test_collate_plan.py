@@ -56,6 +56,20 @@ def test_loader_iter_uses_plan_and_matches(monkeypatch):
         _assert_batch_equal(a, b)
 
 
+def test_plan_detects_stale_structs():
+    """Replacing a struct array after plan construction (the frozen-structs
+    contract) must raise on the next collate, not read freed memory."""
+    mols = synthetic_qm9_dataset(8, seed=3)
+    loader = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=4, shuffle=False)
+    plan = CollatePlan(loader.structs)
+    idxs = loader.batches()[0]
+    collate_structures(None, loader.pads, plan=plan, idxs=idxs)  # fresh: ok
+    s = loader.structs[idxs[0]]
+    s["pos"] = s["pos"].copy()  # simulate attach_basis re-run / user mutation
+    with pytest.raises(RuntimeError, match="stale"):
+        collate_structures(None, loader.pads, plan=plan, idxs=idxs)
+
+
 def test_plan_overflow_raises():
     mols = synthetic_qm9_dataset(8, seed=13)
     loader = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=4, shuffle=False)

@@ -91,6 +91,23 @@ def test_segment_sum_sorted_matches(rng):
     np.testing.assert_allclose(g_a, g_b, rtol=1e-3, atol=1e-4)
 
 
+def test_segment_sum_sorted_keeps_f64_accumulation(rng):
+    """Under jax x64 an f64 stream must accumulate in f64, not be silently
+    downcast to the f32 scan used for low-precision inputs (ADVICE r2): the
+    group [1e9, 1e-3, -1e9] sums to 1e-3 only with >f32 mantissa."""
+    from pamnet_tpu.ops.ell import build_offsets_np, segment_sum_sorted
+
+    with jax.enable_x64():
+        values = jnp.array([[1e9], [1e-3], [-1e9]], dtype=jnp.float64)
+        ids = jnp.zeros(3, jnp.int32)
+        offsets = jnp.asarray(build_offsets_np(np.zeros(3, np.int32), 3, 1))
+        out = segment_sum_sorted(values, ids, jnp.ones(3, bool), offsets)
+        assert out.dtype == jnp.float64
+        # f64 rounding at 1e9 magnitude leaves ~5e-8 abs error; an f32 scan
+        # would return exactly 0.0 here (1e9 + 1e-3 == 1e9 in f32).
+        np.testing.assert_allclose(np.asarray(out), [[1e-3]], rtol=1e-3)
+
+
 def test_unsorted_offsets_raise(rng):
     from pamnet_tpu.ops.ell import build_offsets_np
 

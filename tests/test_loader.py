@@ -90,6 +90,38 @@ def test_undersized_pads_are_widened(rng):
         assert getattr(loader.pads, f.name) >= getattr(auto, f.name)
 
 
+def test_strict_pads_raises_instead_of_widening(rng):
+    """strict_pads=True: undersized explicit pads are an error (multi-process
+    DP callers must not silently diverge their compiled batch shapes)."""
+    import pytest
+
+    from pamnet_tpu.data.batch import PadSizes
+
+    mols = _mols(rng, 6)
+    tiny = PadSizes(n=8, eg=8, el=8, t2=8, t1=8, g=8)
+    with pytest.raises(ValueError, match="strict_pads"):
+        GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=3, pads=tiny,
+                    strict_pads=True)
+    # Covering pads pass through unchanged under strict mode.
+    auto = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=3).pads
+    loader = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=3, pads=auto,
+                         strict_pads=True)
+    assert loader.pads == auto
+
+
+def test_widening_emits_warning(rng):
+    import warnings as _w
+
+    from pamnet_tpu.data.batch import PadSizes
+
+    mols = _mols(rng, 6)
+    tiny = PadSizes(n=8, eg=8, el=8, t2=8, t1=8, g=8)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=3, pads=tiny)
+    assert any("widening" in str(r.message) for r in rec)
+
+
 def test_drop_last(rng):
     loader = GraphLoader(_mols(rng, 10), "qm9", 5.0, 5.0, batch_size=4,
                          drop_last=True)
