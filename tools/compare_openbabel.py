@@ -40,16 +40,62 @@ def reference_features(path: str, reference_root: str):
     return featurizer.get_features(mol)
 
 
+def check_divergences(reference_root: str) -> int:
+    """Verify the expected-divergence registry
+    (pamnet_tpu/data/featurizer_divergences.py) against real OpenBabel:
+    for every entry, run BOTH featurizers on the bundled fixture and check
+    the ``ours`` and ``openbabel`` columns.  Resolves the likely/uncertain
+    entries into golden rows."""
+    import tempfile
+
+    from pamnet_tpu.data.featurizer_divergences import EXPECTED_DIVERGENCES
+
+    failures = 0
+    for d in EXPECTED_DIVERGENCES:
+        with tempfile.NamedTemporaryFile("w", suffix=".mol2", delete=False) as f:
+            f.write(d.mol2)
+            path = f.name
+        col = FEATURE_NAMES.index(d.feature)
+        _, got_feats = featurize_mol2(parse_mol2(path))
+        got = float(got_feats[d.atom, col])
+        try:
+            _, ref_feats = reference_features(path, reference_root)
+            ref = float(ref_feats[d.atom, col])
+        except Exception as e:  # noqa: BLE001 - report per entry
+            print(f"{d.name}: OpenBabel side FAILED ({e})")
+            failures += 1
+            continue
+        ok_ours = got == d.ours
+        ok_ref = ref == d.openbabel
+        status = "OK" if (ok_ours and ok_ref) else "MISMATCH"
+        print(f"{d.name} [{d.feature}] ({d.confidence}): ours={got} "
+              f"(expected {d.ours}), openbabel={ref} (expected {d.openbabel})"
+              f" -> {status}")
+        if not (ok_ours and ok_ref):
+            failures += 1
+    print(f"\n{len(EXPECTED_DIVERGENCES) - failures}/{len(EXPECTED_DIVERGENCES)}"
+          f" registry entries confirmed")
+    return 1 if failures else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("mol2", nargs="+", help="mol2 files to compare on")
+    ap.add_argument("mol2", nargs="*", help="mol2 files to compare on")
     ap.add_argument("--reference", required=True,
                     help="path to the reference PAMNet checkout (for utils.Featurizer)")
     ap.add_argument("--tol", type=float, default=0.0,
                     help="max tolerated per-column mismatch rate (flags)")
     ap.add_argument("--charge-tol", type=float, default=1e-3,
                     help="abs tolerance for partialcharge (continuous)")
+    ap.add_argument("--check-divergences", action="store_true",
+                    help="verify the expected-divergence registry instead "
+                    "of diffing files")
     args = ap.parse_args()
+
+    if args.check_divergences:
+        return check_divergences(args.reference)
+    if not args.mol2:
+        ap.error("provide mol2 files or --check-divergences")
 
     total = np.zeros(len(FEATURE_NAMES), dtype=np.int64)
     mismatch = np.zeros(len(FEATURE_NAMES), dtype=np.int64)
