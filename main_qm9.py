@@ -30,8 +30,27 @@ class StackedEval:
     def __init__(self, eval_run, loader, to_device):
         from pamnet_tpu.train.loop import stack_microbatches_host
 
+        t0 = time.time()
         batches = list(loader)  # host batches; stack on host, transfer once
-        self.stacked = to_device(stack_microbatches_host(batches))
+        t1 = time.time()
+        stacked = stack_microbatches_host(batches)
+        t2 = time.time()
+        self.stacked = to_device(stacked)
+        # Force the transfer now so staging cost is attributable (and not
+        # folded into the first eval dispatch).
+        import jax
+
+        jax.block_until_ready(self.stacked)
+        t3 = time.time()
+        nbytes = sum(
+            x.nbytes for x in jax.tree_util.tree_leaves(stacked)
+        )
+        print(
+            f"StackedEval: {len(batches)} batches, {nbytes / 1e6:.0f} MB "
+            f"(collate {t1 - t0:.1f}s, stack {t2 - t1:.1f}s, "
+            f"transfer {t3 - t2:.1f}s)",
+            file=sys.stderr,
+        )
         self.mask = np.concatenate([np.asarray(b.graph_mask) for b in batches]) > 0
         self.y = np.concatenate([np.asarray(b.y) for b in batches])
         self.run = eval_run
@@ -89,6 +108,19 @@ def main():
                              'training-dynamics section); segment reductions '
                              'and the fusion softmax always accumulate in '
                              'f32. Use float32 for exactness-sensitive runs.')
+    parser.add_argument('--no_ell_tables', action='store_true',
+                        help='Skip host-built ELL aggregation tables '
+                             '(sorted-offset prefix scans remain). Trades '
+                             '~30%% device step speed for ~45%% less '
+                             'host->device traffic per batch — wins on '
+                             'transfer-bound links (DEVNOTES.md 110k-scale '
+                             'findings); keep tables on local hardware')
+    parser.add_argument('--device_graph', action='store_true',
+                        help='Rebuild the radius graph on device inside the '
+                             'compiled step (reference per-forward semantics, '
+                             'models.py:110; for dynamic-geometry uses — the '
+                             'host-precomputed path is faster for static '
+                             'positions)')
     parser.add_argument('--structure_cache', type=str, default='',
                         help='Directory for the on-disk precomputed-structure '
                              'cache (content-addressed, resumable; '
@@ -146,7 +178,8 @@ def main():
     variant = "s" if args.model == "PAMNet_s" else "full"
     cfg = PAMNetConfig(dataset='QM9', dim=args.dim, n_layer=args.n_layer,
                        cutoff_l=args.cutoff_l, cutoff_g=args.cutoff_g,
-                       variant=variant, compute_dtype=args.compute_dtype)
+                       variant=variant, compute_dtype=args.compute_dtype,
+                       device_graph=args.device_graph)
 
     train_mols = mols[:n_train]
     val_mols = mols[n_train:n_train + n_val]
@@ -154,15 +187,18 @@ def main():
 
     common = dict(dataset_kind='qm9', cutoff_l=cfg.cutoff_l, cutoff_g=cfg.cutoff_g,
                   variant=variant,
+                  build_tables=not args.no_ell_tables,
                   cache_dir=args.structure_cache or None,
                   cache_workers=args.cache_workers)
     dp = max(args.dp, 0)
+    t_load = time.time()
     train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
                                shuffle=True, seed=args.seed, drop_last=True, **common)
     val_loader = GraphLoader(val_mols, batch_size=args.batch_size, pads=train_loader.pads, **common)
     test_loader = GraphLoader(test_mols, batch_size=args.batch_size, pads=train_loader.pads, **common)
     print(f"Data loaded! train={len(train_mols)} val={len(val_mols)} "
-          f"test={len(test_mols)} pads={train_loader.pads}")
+          f"test={len(test_mols)} pads={train_loader.pads} "
+          f"({time.time() - t_load:.1f}s structure build)")
 
     params = init_pamnet(jax.random.PRNGKey(args.seed), cfg)
     print("Number of model parameters:", count_parameters(params))
@@ -180,8 +216,10 @@ def main():
     from pamnet_tpu.train.loop import make_multistep_eval
     eval_run = make_multistep_eval(cfg)
 
-    def to_device(gb):
-        return jax.tree.map(jnp.asarray, gb)
+    # Packed staging: one wire buffer per dtype instead of one transfer per
+    # pytree leaf (~35 leaves x ~90 ms RTT on tunneled pools; also fewer
+    # DMA descriptors on local hardware).  See utils/wirepack.py.
+    from pamnet_tpu.utils.wirepack import stage as to_device
 
     from pamnet_tpu.train.loop import EpochRunner
     runner = EpochRunner(cfg, optimizer, "l1", ema_decay=0.999, dp=dp,

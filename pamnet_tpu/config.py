@@ -62,6 +62,14 @@ class PAMNetConfig:
     # loop ~45% faster at the QM9 recipe (3.16 vs 4.61 ms/step), so this is
     # opt-in for compile-time-sensitive uses.
     scan_layers: bool = False
+    # Rebuild graph structure (edges + triplet tables) on device inside the
+    # compiled forward from the current positions — the reference's
+    # per-forward construction semantics (models.py:104-162), for positions
+    # that change under jit (relaxation/MD-style loops).  Uses the masked
+    # O(N^2)/O(E^2) builders in ops/neighbors.py; QM9-scale batches only
+    # (models/device_graph.py).  The host-precomputed path stays the
+    # production default (positions are static in all supported datasets).
+    device_graph: bool = False
     # Lane-pack the global layer's edge pipeline when dim < 128 (folds
     # 128//dim edges into one lane row; ops/packing.py).  Measured slower on
     # v5e (XLA already fuses the unpacked chain; relayouts dominate) — kept

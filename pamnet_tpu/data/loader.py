@@ -81,6 +81,7 @@ class GraphLoader:
                           precompute_basis, num_spherical, num_radial,
                           envelope_exponent),
                 cache_dir, num_workers=cache_workers,
+                progress=len(mols) >= 10_000,  # cold builds at scale take minutes
             )
         else:
             self.structs = [
@@ -196,17 +197,22 @@ class GraphLoader:
                     build_tables=self.build_tables,
                 )
 
-    def prefetch(self, depth: int = 2):
+    def prefetch(self, depth: int = 2, transform=None):
         """Iterate with a background collation thread (overlaps host batch
         assembly with device compute).  Worker exceptions re-raise in the
-        consumer — a silently truncated epoch would corrupt training."""
+        consumer — a silently truncated epoch would corrupt training.
+
+        ``transform`` (e.g. a host->device staging fn) runs INSIDE the
+        worker thread, so device transfers overlap compute too — on
+        transfer-bound links (this pool's ~40 MB/s tunnel; DEVNOTES.md) the
+        dispatch thread otherwise serializes wire time with execution."""
         q: queue.Queue = queue.Queue(maxsize=depth)
         stop = object()
 
         def worker():
             try:
                 for gb in self:
-                    q.put(gb)
+                    q.put(gb if transform is None else transform(gb))
                 q.put(stop)
             except BaseException as e:  # noqa: BLE001 - relayed to consumer
                 q.put(e)

@@ -98,6 +98,14 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
     """Forward pass -> (G,) per-graph predictions (padded graphs give 0)."""
     kind = cfg.dataset_kind
     num_nodes = g.z.shape[0]
+    if cfg.device_graph:
+        # Rebuild edges/triplets from positions inside the compiled step
+        # (reference per-forward semantics, models.py:104-162); drops the
+        # precomputed distance/basis/table fields so the device fallbacks
+        # below evaluate geometry in-graph.
+        from pamnet_tpu.models.device_graph import rebuild_structure
+
+        g = rebuild_structure(g, cfg)
     pos = g.pos
 
     # ---- node embedding (reference: models.py:107,119,140) ----

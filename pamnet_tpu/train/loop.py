@@ -267,6 +267,37 @@ def stack_step_blocks(blocks: list[list[GraphBatch]]) -> GraphBatch:
     return jax.tree.map(lambda *xs: jnp.stack(xs, 0), *stacked_blocks)
 
 
+def _staged(items, stack_host, to_device, depth: int = 2):
+    """Map ('block', group, c) -> ('block', staged_device_group, c) and
+    ('one', gb, c) -> ('one', device_batch, c) in a background thread so
+    host stacking + device transfer overlap the dispatch thread's compute.
+    Worker exceptions re-raise in the consumer."""
+    import queue as _queue
+    import threading as _threading
+
+    q: _queue.Queue = _queue.Queue(maxsize=depth)
+    stop = object()
+
+    def worker():
+        try:
+            for kind, payload, c in items:
+                staged = stack_host(payload) if kind == "block" else to_device(payload)
+                q.put((kind, staged, c))
+            q.put(stop)
+        except BaseException as e:  # noqa: BLE001 - relayed to consumer
+            q.put(e)
+
+    t = _threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 class EpochRunner:
     """Drives one training epoch in any of the three execution modes shared
     by the CLI drivers (single-step, lax.scan multi-step blocks, shard_map
@@ -324,36 +355,56 @@ class EpochRunner:
                              *group)
             )
 
+        # Groups are stacked AND transferred in a background thread
+        # (_staged below), so wire time overlaps device compute — on
+        # transfer-bound links the dispatch thread otherwise serializes
+        # ~MBs/step of host->device traffic with execution (DEVNOTES.md
+        # 110k-scale findings).
         loss_sum, ng, nb = 0.0, 0.0, 0
         if self.dp > 1:
-            group, gcount = [], 0.0
-            for gb in batches:
-                gcount += count(gb)
-                group.append(gb)
-                if len(group) == self.dp:
-                    state, loss = self.step_fn(state, stack_host(group))
-                    loss_sum += float(loss) * gcount; ng += gcount; nb += 1
-                    group, gcount = [], 0.0
-            for gb in group:  # trailing partial device group, stepped singly
-                c = count(gb)
-                state, loss = self._single(state, to_device(gb))
+            def gen():
+                group, gcount = [], 0.0
+                for gb in batches:
+                    gcount += count(gb)
+                    group.append(gb)
+                    if len(group) == self.dp:
+                        yield ("block", group, gcount)
+                        group, gcount = [], 0.0
+                for gb in group:  # trailing partial group, stepped singly
+                    yield ("one", gb, count(gb))
+
+            for kind, dev, c in _staged(gen(), stack_host, to_device):
+                if kind == "block":
+                    state, loss = self.step_fn(state, dev)
+                else:
+                    state, loss = self._single(state, dev)
                 loss_sum += float(loss) * c; ng += c; nb += 1
         elif self.scan_steps > 1:
-            group, counts = [], []
-            for gb in batches:
-                counts.append(count(gb))
-                group.append(gb)
-                if len(group) == self.scan_steps:
-                    state, losses = self.step_fn(state, stack_host(group))
-                    loss_sum += float(np.asarray(losses) @ np.asarray(counts))
-                    ng += sum(counts); nb += len(group)
-                    group, counts = [], []
-            for gb, c in zip(group, counts):  # trailing partial block
-                state, loss = self._single(state, to_device(gb))
-                loss_sum += float(loss) * c; ng += c; nb += 1
+            def gen():
+                group, counts = [], []
+                for gb in batches:
+                    counts.append(count(gb))
+                    group.append(gb)
+                    if len(group) == self.scan_steps:
+                        yield ("block", group, counts)
+                        group, counts = [], []
+                for gb, c in zip(group, counts):  # trailing partial block
+                    yield ("one", gb, c)
+
+            for kind, dev, c in _staged(gen(), stack_host, to_device):
+                if kind == "block":
+                    state, losses = self.step_fn(state, dev)
+                    loss_sum += float(np.asarray(losses) @ np.asarray(c))
+                    ng += sum(c); nb += len(c)
+                else:
+                    state, loss = self._single(state, dev)
+                    loss_sum += float(loss) * c; ng += c; nb += 1
         else:
-            for gb in batches:
-                c = count(gb)
-                state, loss = self.step_fn(state, to_device(gb))
+            def gen():
+                for gb in batches:
+                    yield ("one", gb, count(gb))
+
+            for _, dev, c in _staged(gen(), stack_host, to_device):
+                state, loss = self.step_fn(state, dev)
                 loss_sum += float(loss) * c; ng += c; nb += 1
         return state, loss_sum, ng, nb
