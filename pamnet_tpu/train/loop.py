@@ -123,6 +123,39 @@ def make_multistep_train_step(cfg: PAMNetConfig, optimizer, loss_kind: str,
     return steps
 
 
+def make_device_data_epoch(cfg: PAMNetConfig, optimizer, loss_kind: str,
+                           ema_decay: float | None = 0.999):
+    """Whole-epoch training over a DEVICE-RESIDENT dataset:
+    ``state, staged, perm -> state, losses`` where ``staged`` is the full
+    stacked batch tree (Nb, ...) living in HBM and ``perm`` (Nb,) int32 is
+    this epoch's batch visitation order.
+
+    The idiomatic TPU mode for datasets that fit HBM (QM9's 110k-molecule
+    split is ~6 GB without ELL tables): the data is transferred ONCE, and
+    every epoch is a single device dispatch — a ``lax.scan`` over ``perm``
+    that gathers batch ``perm[t]`` from HBM (a ~MB-scale device-local copy)
+    and runs the usual step body.  Removes ALL per-epoch host->device
+    traffic, which is the dominant cost both over this pool's tunnel
+    (~2-40 MB/s; DEVNOTES.md) and, more mildly, over PCIe on local hosts.
+
+    Shuffle semantics: batch COMPOSITION is fixed at staging time (one
+    molecule-level shuffle); epochs reshuffle the batch ORDER only.  The
+    reference reshuffles molecules into new batches every epoch — a documented
+    approximation of this mode (use the streaming path for exact parity).
+    """
+    body = _make_step_body(cfg, optimizer, loss_kind, ema_decay)
+
+    @jax.jit
+    def epoch(state: TrainState, staged: GraphBatch, perm):
+        def step(st, idx):
+            gb = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), staged)
+            return body(st, gb)
+
+        return jax.lax.scan(step, state, perm)
+
+    return epoch
+
+
 def make_multistep_eval(cfg: PAMNetConfig):
     """One-dispatch evaluation: batches stacked on a leading scan axis S ->
     (S, G) predictions (pairs with ``stack_microbatches``; removes per-batch

@@ -180,6 +180,33 @@ def test_multistep_scan_matches_sequential(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+def test_device_data_epoch_matches_sequential(rng):
+    """HBM-resident epoch scan (make_device_data_epoch) over a permutation
+    == sequential single steps in that order: same losses, same params."""
+    from pamnet_tpu.train.loop import make_device_data_epoch
+
+    batches = [_batch(rng, n_mols=3) for _ in range(5)]
+    params = init_pamnet(jax.random.PRNGKey(2), CFG)
+    opt = make_optimizer(constant(1e-3), clip_norm=1000.0)
+    perm = np.array([3, 0, 4, 1, 2], np.int32)
+
+    state_a = init_train_state(params, opt)
+    step = make_train_step(CFG, opt, "l1")
+    seq_losses = []
+    for i in perm:
+        state_a, loss = step(state_a, batches[int(i)])
+        seq_losses.append(float(loss))
+
+    state_b = init_train_state(params, opt)
+    epoch = make_device_data_epoch(CFG, opt, "l1")
+    staged = stack_microbatches(batches)
+    state_b, losses = epoch(state_b, staged, jnp.asarray(perm))
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-5)
+    assert int(state_b.step) == 5
+    for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
 def test_dp_multistep_matches_dp_sequential(rng):
     """(S=3 scan) x (D=8 data parallel) == 3 sequential DP steps."""
     from pamnet_tpu.train.loop import (
