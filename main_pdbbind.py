@@ -66,6 +66,11 @@ def main():
                         help='Data-parallel devices (0 = single device)')
     parser.add_argument('--scan_steps', type=int, default=1,
                         help='Optimizer steps per device dispatch')
+    parser.add_argument('--device_data', action='store_true',
+                        help='Stage the whole padded train split in device '
+                             'HBM once; each epoch is one dispatch (batch '
+                             'order reshuffled per epoch; incompatible '
+                             'with --dp)')
     args = parser.parse_args()
 
     set_seed(args.seed)
@@ -131,8 +136,16 @@ def main():
                          scan_steps=args.scan_steps)
     eval_run = make_multistep_eval(cfg)
 
-    def to_device(gb):
-        return jax.tree.map(jnp.asarray, gb)
+    from pamnet_tpu.utils.wirepack import stage as to_device
+
+    device_trainer = None
+    if args.device_data:
+        if dp > 1:
+            raise SystemExit("--device_data is incompatible with --dp")
+        from pamnet_tpu.train.loop import DeviceDataTrainer
+        device_trainer = DeviceDataTrainer(
+            cfg, optimizer, "mse", train_loader, to_device, seed=args.seed,
+        )
 
     train_eval = StackedEval(eval_run, train_loader, to_device)
     val_eval = StackedEval(eval_run, val_loader, to_device)
@@ -143,7 +156,10 @@ def main():
     test_metrics = (float('nan'),) * 4
     for epoch in range(args.epochs):
         t0 = time.time()
-        state, _, _, _ = runner.run(state, train_loader.prefetch(), to_device)
+        if device_trainer is not None:
+            state, _, _, _ = device_trainer.run(state)
+        else:
+            state, _, _, _ = runner.run(state, train_loader.prefetch(), to_device)
         train_m = train_eval(state.params)
         val_m = val_eval(state.params)
         if best_val_rmse is None or val_m[0] < best_val_rmse:

@@ -244,27 +244,13 @@ def main():
 
     if args.device_data and dp > 1:
         raise SystemExit("--device_data is incompatible with --dp")
-    staged_train = None
+    device_trainer = None
     if args.device_data:
-        from pamnet_tpu.train.loop import (
-            make_device_data_epoch,
-            stack_microbatches_host,
+        from pamnet_tpu.train.loop import DeviceDataTrainer
+        device_trainer = DeviceDataTrainer(
+            cfg, optimizer, "l1", train_loader, to_device,
+            ema_decay=0.999, seed=args.seed,
         )
-        epoch_fn = make_device_data_epoch(cfg, optimizer, "l1", ema_decay=0.999)
-        t0 = time.time()
-        train_batches = list(train_loader)
-        counts = np.array(
-            [np.asarray(b.graph_mask).sum() for b in train_batches], np.float64
-        )
-        stacked = stack_microbatches_host(train_batches)
-        staged_train = to_device(stacked)
-        jax.block_until_ready(staged_train)
-        nbytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(stacked))
-        print(f"Device-resident train data: {len(train_batches)} batches, "
-              f"{nbytes / 1e6:.0f} MB staged in {time.time() - t0:.1f}s",
-              file=sys.stderr)
-        del train_batches, stacked
-        shuffle_rng = np.random.default_rng(args.seed + 1)
 
     save_folder = osp.join('.', args.save_dir, args.dataset)
     os.makedirs(save_folder, exist_ok=True)
@@ -294,14 +280,10 @@ def main():
         # reference's num_graphs-weighted accounting (main_qm9.py:109,119)
         # even if batch sizes ever vary.
         with tracing:
-            if staged_train is not None:
+            if device_trainer is not None:
                 # One device dispatch for the whole epoch over the
                 # HBM-resident dataset (batch-order reshuffle only).
-                perm = shuffle_rng.permutation(len(counts)).astype(np.int32)
-                state, losses = epoch_fn(state, staged_train, jnp.asarray(perm))
-                losses = np.asarray(losses)
-                loss_sum = float(losses @ counts[perm])
-                ng, nb = float(counts.sum()), len(counts)
+                state, loss_sum, ng, nb = device_trainer.run(state)
             else:
                 state, loss_sum, ng, nb = runner.run(
                     state, train_loader.prefetch(), to_device

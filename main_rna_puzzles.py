@@ -61,6 +61,11 @@ def main():
     parser.add_argument('--platform', type=str, default='auto')
     parser.add_argument('--dp', type=int, default=0,
                         help='Data-parallel devices (0 = single device)')
+    parser.add_argument('--device_data', action='store_true',
+                        help='Stage the whole padded train split in device '
+                             'HBM once; each epoch is one dispatch (batch '
+                             'order reshuffled per epoch; incompatible '
+                             'with --dp)')
     parser.add_argument('--scan_steps', type=int, default=1,
                         help='Optimizer steps per device dispatch')
     parser.add_argument('--structure_cache', type=str, default='',
@@ -125,8 +130,17 @@ def main():
     from pamnet_tpu.train.loop import make_multistep_eval
     eval_run = make_multistep_eval(cfg)
 
-    def to_device(gb):
-        return jax.tree.map(jnp.asarray, gb)
+    from pamnet_tpu.utils.wirepack import stage as to_device
+
+    device_trainer = None
+    if args.device_data:
+        if args.dp > 1:
+            raise SystemExit("--device_data is incompatible with --dp")
+        from pamnet_tpu.train.loop import DeviceDataTrainer
+        device_trainer = DeviceDataTrainer(
+            cfg, optimizer, "smooth_l1", train_loader, to_device,
+            seed=args.seed,
+        )
 
     train_eval = StackedEval(eval_run, train_loader, to_device)
     val_eval = StackedEval(eval_run, val_loader, to_device)
@@ -136,7 +150,10 @@ def main():
     best_val_loss = None
     for epoch in range(args.epochs):
         t0 = time.time()
-        state, _, _, _ = runner.run(state, train_loader.prefetch(), to_device)
+        if device_trainer is not None:
+            state, _, _, _ = device_trainer.run(state)
+        else:
+            state, _, _, _ = runner.run(state, train_loader.prefetch(), to_device)
         train_loss, _ = train_eval(state.params)
         val_loss, _ = val_eval(state.params)
         print(f'Epoch: {epoch+1:03d}, Train Loss: {train_loss:.7f}, '

@@ -156,6 +156,50 @@ def make_device_data_epoch(cfg: PAMNetConfig, optimizer, loss_kind: str,
     return epoch
 
 
+class DeviceDataTrainer:
+    """Driver-facing wrapper for :func:`make_device_data_epoch`: stages the
+    whole train split in HBM at construction, then ``run(state)`` executes
+    one epoch in a single device dispatch with a fresh batch-order
+    permutation and returns the same ``(state, loss_sum, n_graphs,
+    n_dispatches)`` accounting as ``EpochRunner.run``."""
+
+    def __init__(self, cfg: PAMNetConfig, optimizer, loss_kind: str,
+                 train_loader, to_device, *, ema_decay: float | None = None,
+                 seed: int = 0):
+        import sys
+        import time
+
+        import numpy as np
+
+        self.epoch_fn = make_device_data_epoch(cfg, optimizer, loss_kind,
+                                               ema_decay)
+        t0 = time.time()
+        batches = list(train_loader)
+        self.counts = np.array(
+            [float(np.asarray(b.graph_mask).sum()) for b in batches],
+            np.float64,
+        )
+        stacked = stack_microbatches_host(batches)
+        self.staged = to_device(stacked)
+        jax.block_until_ready(self.staged)
+        nbytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(stacked))
+        print(
+            f"Device-resident train data: {len(batches)} batches, "
+            f"{nbytes / 1e6:.0f} MB staged in {time.time() - t0:.1f}s",
+            file=sys.stderr,
+        )
+        self._rng = np.random.default_rng(seed + 1)
+
+    def run(self, state: TrainState):
+        import numpy as np
+
+        perm = self._rng.permutation(len(self.counts)).astype(np.int32)
+        state, losses = self.epoch_fn(state, self.staged, jnp.asarray(perm))
+        losses = np.asarray(losses, np.float64)
+        loss_sum = float(losses @ self.counts[perm])
+        return state, loss_sum, float(self.counts.sum()), len(self.counts)
+
+
 def make_multistep_eval(cfg: PAMNetConfig):
     """One-dispatch evaluation: batches stacked on a leading scan axis S ->
     (S, G) predictions (pairs with ``stack_microbatches``; removes per-batch
