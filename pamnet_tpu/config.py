@@ -62,6 +62,12 @@ class PAMNetConfig:
     # loop ~45% faster at the QM9 recipe (3.16 vs 4.61 ms/step), so this is
     # opt-in for compile-time-sensitive uses.
     scan_layers: bool = False
+    # Fold the 1-layer sbf MLP through the triplet gather (models/pamnet.py
+    # fold_sbf path): None = auto (on when num_spherical*dim <= 128 and the
+    # host radial tables are present — the RNA dim-16 scoring shapes);
+    # True/False force it.  Exact reassociation; removes the (T, ns*nr)
+    # materialization + matmul streams over the triplet axis.
+    fold_sbf: bool | None = None
     # Rebuild graph structure (edges + triplet tables) on device inside the
     # compiled forward from the current positions — the reference's
     # per-forward construction semantics (models.py:104-162), for positions

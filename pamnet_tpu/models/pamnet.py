@@ -144,7 +144,46 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
     cdt = jnp.dtype(cfg.compute_dtype)
 
     ns, nr = cfg.num_spherical, cfg.num_radial
-    if g.sbf_radial is not None:
+    # Fold the 1-layer sbf MLP THROUGH the triplet gather when the projected
+    # row still fits one 128-lane row (ns*dim <= 128, i.e. the RNA dim-16
+    # scoring shapes): pre-project the per-edge radial table once at edge
+    # level (7 tiny block matmuls, El rows), gather the (El, ns*dim)
+    # projected table (same single padded-lane-row read per triplet as the
+    # raw (El, 42) gather), and finish with ns fused lane-slice
+    # multiply-adds.  Exact reassociation of silu((sbf ⊙ rep(cbf)) @ W + b);
+    # removes the (T, 42) materialization + (T,42)@(42,dim) matmul streams —
+    # ~2 full padded T-row passes on the 1.8M-triplet RNA batch.
+    fold_sbf = (
+        g.sbf_radial is not None
+        and (cfg.fold_sbf if cfg.fold_sbf is not None
+             else ns * cfg.dim <= 128)
+        and len(params.get("mlp_sbf1", params.get("mlp_sbf", []))) == 1
+    )
+    if fold_sbf:
+        sbf_table_f = g.sbf_radial.astype(cdt)
+
+        def projected_attr(mlp_p, idx, cbf):
+            w = mlp_p[0]["w"].astype(cdt)  # (ns*nr, dim)
+            b = mlp_p[0]["b"].astype(cdt)
+            d = w.shape[1]
+            proj = jnp.concatenate(
+                [sbf_table_f[:, l * nr:(l + 1) * nr] @ w[l * nr:(l + 1) * nr]
+                 for l in range(ns)],
+                axis=1,
+            )  # (El, ns*dim)
+            rows = proj[idx]  # one padded lane-row per triplet, as before
+            cbf_c = cbf.astype(cdt)
+            out = b
+            for l in range(ns):
+                out = out + cbf_c[:, l:l + 1] * rows[:, l * d:(l + 1) * d]
+            return nn.silu(out)
+
+        if use_two_hop:
+            edge_attr_sbf2 = projected_attr(params["mlp_sbf2"], g.t2_kj, g.cbf2)
+            edge_attr_sbf1 = projected_attr(params["mlp_sbf1"], g.t1_jj, g.cbf1)
+        else:
+            edge_attr_sbf = projected_attr(params["mlp_sbf"], g.t1_jj, g.cbf1)
+    elif g.sbf_radial is not None:
         # Gather the FLAT (El, ns*nr) table and expand cbf to ns*nr lanes:
         # gathering a reshaped (El, ns, nr) view materializes (T, ns, nr)
         # arrays whose minor dims tile-pad to (8, 128) — a 24x memory blowup
@@ -170,11 +209,12 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
             sbf1 = spherical_basis(dist_l, angle1, g.t1_jj, *sbf_args)
         else:
             sbf = spherical_basis(dist_l, angle1, g.t1_jj, *sbf_args)
-    if use_two_hop:
-        edge_attr_sbf2 = nn.mlp(params["mlp_sbf2"], sbf2)
-        edge_attr_sbf1 = nn.mlp(params["mlp_sbf1"], sbf1)
-    else:
-        edge_attr_sbf = nn.mlp(params["mlp_sbf"], sbf)
+    if not fold_sbf:
+        if use_two_hop:
+            edge_attr_sbf2 = nn.mlp(params["mlp_sbf2"], sbf2)
+            edge_attr_sbf1 = nn.mlp(params["mlp_sbf1"], sbf1)
+        else:
+            edge_attr_sbf = nn.mlp(params["mlp_sbf"], sbf)
 
     # ---- mixed-precision boundary: geometry math above stays f32; the
     # message-passing stack below runs in cfg.compute_dtype ----

@@ -1,0 +1,87 @@
+"""The folded sbf projection (apply_pamnet fold_sbf path: 1-layer sbf MLP
+pushed through the triplet gather; auto-on when num_spherical*dim <= 128)
+must be an exact reassociation of the unfolded table path — same params,
+same batch, outputs equal to float tolerance — for both the RNA (one-hop +
+two-hop at dim 16) and PAMNet_s shapes."""
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pamnet_tpu.config import PAMNetConfig
+from pamnet_tpu.data.batch import (
+    attach_basis,
+    collate_structures,
+    precompute_structure,
+)
+from pamnet_tpu.models import apply_pamnet, init_pamnet
+
+
+def _rna_batch(rng, cfg, variant="full"):
+    mols = [
+        dict(
+            z=rng.integers(0, 3, n := int(rng.integers(8, 14))).astype(np.int32),
+            pos=(rng.random((n, 3)) * 6.0).astype(np.float32),
+            y=float(rng.random()),
+        )
+        for _ in range(3)
+    ]
+    structs = [precompute_structure(m, "rna", cfg.cutoff_l, cfg.cutoff_g,
+                                    variant) for m in mols]
+    for s in structs:
+        attach_basis(s, cfg.cutoff_l)
+    return jax.tree.map(jnp.asarray, collate_structures(structs)), len(mols)
+
+
+def _ab(cfg, gb):
+    params = init_pamnet(jax.random.PRNGKey(0), cfg)
+    fold = dataclasses.replace(cfg, fold_sbf=True)
+    flat = dataclasses.replace(cfg, fold_sbf=False)
+    a = np.asarray(jax.jit(apply_pamnet, static_argnums=2)(params, gb, fold))
+    b = np.asarray(jax.jit(apply_pamnet, static_argnums=2)(params, gb, flat))
+    return a, b
+
+
+def test_folded_matches_unfolded_rna(rng):
+    cfg = PAMNetConfig(dataset="rna_t", dim=16, n_layer=1, cutoff_l=2.6,
+                       cutoff_g=20.0, flow="target_to_source")
+    assert cfg.num_spherical * cfg.dim <= 128  # auto gate would fire too
+    gb, n = _rna_batch(rng, cfg)
+    a, b = _ab(cfg, gb)
+    assert np.isfinite(a[:n]).all()
+    np.testing.assert_allclose(a[:n], b[:n], rtol=2e-5, atol=2e-6)
+
+
+def test_folded_matches_unfolded_s_variant(rng):
+    cfg = PAMNetConfig(dataset="QM9", dim=16, n_layer=2, cutoff_l=5.0,
+                       cutoff_g=5.0, variant="s")
+    mols = [
+        dict(
+            z=rng.integers(0, 5, n := int(rng.integers(6, 10))).astype(np.int32),
+            pos=(rng.random((n, 3)) * 3.0).astype(np.float32),
+            edge_index=np.stack([
+                np.concatenate([np.arange(n - 1), np.arange(1, n)]),
+                np.concatenate([np.arange(1, n), np.arange(n - 1)]),
+            ]),
+            y=float(rng.random()),
+        )
+        for _ in range(3)
+    ]
+    structs = [precompute_structure(m, "qm9", cfg.cutoff_l, cfg.cutoff_g, "s")
+               for m in mols]
+    for s in structs:
+        attach_basis(s, cfg.cutoff_l)
+    gb = jax.tree.map(jnp.asarray, collate_structures(structs))
+    a, b = _ab(cfg, gb)
+    np.testing.assert_allclose(a[:3], b[:3], rtol=2e-5, atol=2e-6)
+
+
+def test_auto_gate_by_width():
+    """dim=32 -> ns*dim = 224 > 128: auto must not fold (fold_sbf=None)."""
+    cfg = PAMNetConfig(dataset="rna_t", dim=32, n_layer=1, cutoff_l=2.6,
+                       cutoff_g=20.0, flow="target_to_source")
+    assert cfg.num_spherical * cfg.dim > 128
+    assert cfg.fold_sbf is None
