@@ -117,8 +117,9 @@ def main():
                              'split with --no_ell_tables); removes all '
                              'per-epoch host->device traffic. Batch '
                              'composition is fixed at staging (epochs '
-                             'reshuffle batch order only); incompatible '
-                             'with --dp')
+                             'reshuffle batch order only); composes with '
+                             '--dp (shards the staged batches across the '
+                             'mesh, one synchronized DP step per scan step)')
     parser.add_argument('--device_basis', action='store_true',
                         help='Skip host-precomputed spherical-basis/distance '
                              'tables; evaluate geometry on device (~2%% '
@@ -242,14 +243,12 @@ def main():
     runner = EpochRunner(cfg, optimizer, "l1", ema_decay=0.999, dp=dp,
                          scan_steps=args.scan_steps)
 
-    if args.device_data and dp > 1:
-        raise SystemExit("--device_data is incompatible with --dp")
     device_trainer = None
     if args.device_data:
         from pamnet_tpu.train.loop import DeviceDataTrainer
         device_trainer = DeviceDataTrainer(
             cfg, optimizer, "l1", train_loader, to_device,
-            ema_decay=0.999, seed=args.seed,
+            ema_decay=0.999, seed=args.seed, dp=dp,
         )
 
     save_folder = osp.join('.', args.save_dir, args.dataset)

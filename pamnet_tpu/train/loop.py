@@ -156,6 +156,53 @@ def make_device_data_epoch(cfg: PAMNetConfig, optimizer, loss_kind: str,
     return epoch
 
 
+def make_dp_device_data_epoch(cfg: PAMNetConfig, optimizer, loss_kind: str,
+                              mesh: Mesh, ema_decay: float | None = 0.999,
+                              axis: str = "dp"):
+    """Data-parallel whole-epoch training over a DEVICE-RESIDENT dataset:
+    ``state, staged, perm -> state, losses`` where ``staged`` (Nb, ...) is
+    sharded on its batch axis across the mesh (Nb divisible by D) and
+    ``perm`` (S, D) int32 holds each scan step's LOCAL batch index per
+    device.  Each of the S steps is one synchronized DP optimizer step:
+    device d gathers its HBM-local batch ``perm[t, d]``, gradients arrive
+    psum-reduced via shard_map's replication typing (see
+    ``make_dp_train_step``), and the loss is the global mean.  Composes the
+    two scaling mechanisms: zero per-epoch host->device traffic AND ICI
+    data parallelism."""
+
+    def local_loss(params, batch: GraphBatch):
+        pred = apply_pamnet(params, batch, cfg)
+        total, count = _loss_terms(pred, batch.y, batch.graph_mask, loss_kind)
+        global_count = jax.lax.psum(count, axis)
+        return total / jnp.maximum(global_count, 1.0)
+
+    def shard_epoch(state: TrainState, staged: GraphBatch, perm):
+        # staged: local (Nb/D, ...); perm: local (S, 1).
+        def step(st, idx):
+            gb = jax.tree.map(lambda x: jnp.take(x, idx[0], axis=0), staged)
+            local, grads = jax.value_and_grad(local_loss)(st.params, gb)
+            loss = jax.lax.psum(local, axis)
+            updates, opt_state = optimizer.update(grads, st.opt_state,
+                                                  st.params)
+            params = optax.apply_updates(st.params, updates)
+            ema = (
+                ema_update(st.ema, params, ema_decay)
+                if st.ema is not None
+                else None
+            )
+            return TrainState(params, opt_state, ema, st.step + 1), loss
+
+        return jax.lax.scan(step, state, perm)
+
+    sharded = shard_map(
+        shard_epoch,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(None, axis)),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(sharded)
+
+
 class DeviceDataTrainer:
     """Driver-facing wrapper for :func:`make_device_data_epoch`: stages the
     whole train split in HBM at construction, then ``run(state)`` executes
@@ -165,27 +212,47 @@ class DeviceDataTrainer:
 
     def __init__(self, cfg: PAMNetConfig, optimizer, loss_kind: str,
                  train_loader, to_device, *, ema_decay: float | None = None,
-                 seed: int = 0):
+                 seed: int = 0, dp: int = 0):
         import sys
         import time
 
         import numpy as np
 
-        self.epoch_fn = make_device_data_epoch(cfg, optimizer, loss_kind,
-                                               ema_decay)
+        self.dp = max(dp, 0)
         t0 = time.time()
         batches = list(train_loader)
+        if self.dp > 1 and len(batches) % self.dp:
+            # Shards must be equal; drop the tail batches (same semantics as
+            # EpochRunner's trailing-partial handling under DP).
+            batches = batches[: len(batches) - (len(batches) % self.dp)]
         self.counts = np.array(
             [float(np.asarray(b.graph_mask).sum()) for b in batches],
             np.float64,
         )
         stacked = stack_microbatches_host(batches)
-        self.staged = to_device(stacked)
+        if self.dp > 1:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+
+            mesh = make_mesh(self.dp)
+            self.epoch_fn = make_dp_device_data_epoch(
+                cfg, optimizer, loss_kind, mesh, ema_decay=ema_decay
+            )
+            shard = NamedSharding(mesh, _P("dp"))
+            self.staged = jax.tree.map(
+                lambda x: jax.device_put(x, shard), stacked
+            )
+        else:
+            self.epoch_fn = make_device_data_epoch(
+                cfg, optimizer, loss_kind, ema_decay
+            )
+            self.staged = to_device(stacked)
         jax.block_until_ready(self.staged)
         nbytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(stacked))
         print(
             f"Device-resident train data: {len(batches)} batches, "
-            f"{nbytes / 1e6:.0f} MB staged in {time.time() - t0:.1f}s",
+            f"{nbytes / 1e6:.0f} MB staged in {time.time() - t0:.1f}s"
+            + (f" (sharded {self.dp}-way)" if self.dp > 1 else ""),
             file=sys.stderr,
         )
         self._rng = np.random.default_rng(seed + 1)
@@ -193,11 +260,27 @@ class DeviceDataTrainer:
     def run(self, state: TrainState):
         import numpy as np
 
-        perm = self._rng.permutation(len(self.counts)).astype(np.int32)
+        nb = len(self.counts)
+        if self.dp > 1:
+            d = self.dp
+            local = nb // d
+            # Per-device permutation of its OWN HBM shard (shard d holds
+            # global batches [d*local, (d+1)*local)).
+            perm = np.stack(
+                [self._rng.permutation(local) for _ in range(d)], axis=1
+            ).astype(np.int32)  # (S, D) local indices
+            state, losses = self.epoch_fn(state, self.staged,
+                                          jnp.asarray(perm))
+            losses = np.asarray(losses, np.float64)  # (S,) global means
+            global_rows = perm + np.arange(d)[None, :] * local
+            step_counts = self.counts[global_rows].sum(axis=1)  # (S,)
+            loss_sum = float(losses @ step_counts)
+            return state, loss_sum, float(self.counts.sum()), len(losses)
+        perm = self._rng.permutation(nb).astype(np.int32)
         state, losses = self.epoch_fn(state, self.staged, jnp.asarray(perm))
         losses = np.asarray(losses, np.float64)
         loss_sum = float(losses @ self.counts[perm])
-        return state, loss_sum, float(self.counts.sum()), len(self.counts)
+        return state, loss_sum, float(self.counts.sum()), nb
 
 
 def make_multistep_eval(cfg: PAMNetConfig):

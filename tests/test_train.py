@@ -207,6 +207,43 @@ def test_device_data_epoch_matches_sequential(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+def test_dp_device_data_epoch_matches_dp_steps(rng):
+    """DP over an HBM-resident sharded dataset (make_dp_device_data_epoch,
+    D=2) == the tested make_dp_train_step applied sequentially to the same
+    per-step batch pairs."""
+    from pamnet_tpu.train.loop import (
+        make_dp_device_data_epoch,
+        make_dp_train_step,
+        make_mesh,
+    )
+
+    assert len(jax.devices()) >= 2
+    batches = [_batch(rng, n_mols=2) for _ in range(6)]  # dev0: 0-2, dev1: 3-5
+    params = init_pamnet(jax.random.PRNGKey(3), CFG)
+    opt = make_optimizer(constant(1e-3), clip_norm=1000.0)
+    mesh = make_mesh(2)
+    perm = np.array([[2, 0], [0, 2], [1, 1]], np.int32)  # (S=3, D=2) local
+
+    state_a = init_train_state(params, opt)
+    dp_step = make_dp_train_step(CFG, opt, "l1", mesh)
+    seq_losses = []
+    for t in range(perm.shape[0]):
+        pair = stack_microbatches(
+            [batches[perm[t, 0]], batches[3 + perm[t, 1]]]
+        )
+        state_a, loss = dp_step(state_a, pair)
+        seq_losses.append(float(loss))
+
+    state_b = init_train_state(params, opt)
+    epoch = make_dp_device_data_epoch(CFG, opt, "l1", mesh)
+    staged = stack_microbatches(batches)  # (6, ...) -> sharded by in_specs
+    state_b, losses = epoch(state_b, staged, jnp.asarray(perm))
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+
+
 def test_dp_multistep_matches_dp_sequential(rng):
     """(S=3 scan) x (D=8 data parallel) == 3 sequential DP steps."""
     from pamnet_tpu.train.loop import (
