@@ -143,16 +143,21 @@ def bench_qm9():
     dim = int(os.environ.get("PAMNET_BENCH_DIM", 128))
     n_layer = int(os.environ.get("PAMNET_BENCH_LAYERS", 6))
     compute_dtype = os.environ.get("PAMNET_BENCH_DTYPE", "bfloat16")
+    # PAMNET_BENCH_MODEL=PAMNet_s benches the one-hop efficiency variant
+    # (reference models.py:227-353) at the same recipe.
+    variant = "s" if os.environ.get("PAMNET_BENCH_MODEL") == "PAMNet_s" else "full"
     n_mols = 16 * batch_size
     steps = int(os.environ.get("PAMNET_BENCH_STEPS", 512))
 
     cfg = PAMNetConfig(dataset="QM9", dim=dim, n_layer=n_layer,
-                       cutoff_l=5.0, cutoff_g=5.0, compute_dtype=compute_dtype)
+                       cutoff_l=5.0, cutoff_g=5.0, compute_dtype=compute_dtype,
+                       variant=variant)
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     mols = synthetic_qm9_dataset(n_mols, seed=480)
     loader = GraphLoader(mols, "qm9", cfg.cutoff_l, cfg.cutoff_g,
-                         batch_size=batch_size, shuffle=False, drop_last=True)
+                         batch_size=batch_size, shuffle=False, drop_last=True,
+                         variant=variant)
     print(f"pads: {loader.pads}", file=sys.stderr)
 
     # Prebuild + stage a handful of distinct batches on device: measures the
@@ -205,8 +210,10 @@ def bench_qm9():
         f"({elapsed/n_steps*1000:.3f} ms/step), loss={last_loss:.4f}",
         file=sys.stderr,
     )
+    metric = ("qm9_pamnet_s_d128_L6_train_throughput" if variant == "s"
+              else "qm9_pamnet_d128_L6_train_throughput")
     print(json.dumps({
-        "metric": "qm9_pamnet_d128_L6_train_throughput",
+        "metric": metric,
         "value": round(mol_per_sec, 1),
         "unit": "molecules/sec/chip",
         "vs_baseline": round(mol_per_sec / REFERENCE_GPU_MOL_PER_SEC, 2),
