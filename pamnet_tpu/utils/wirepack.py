@@ -107,9 +107,12 @@ def stage(tree):
     device."""
     bufs, meta = pack(tree)
     shards = [_transfer(b) for b in bufs]
-    dev = _concatenator(tuple(len(s) for s in shards))(
-        *[p for s in shards for p in s]
-    )
+    if all(len(s) == 1 for s in shards):  # default path: no extra dispatch
+        dev = [s[0] for s in shards]
+    else:
+        dev = _concatenator(tuple(len(s) for s in shards))(
+            *[p for s in shards for p in s]
+        )
     return _unpacker(meta)(*dev)
 
 

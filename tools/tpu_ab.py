@@ -9,6 +9,8 @@ Experiments (select with argv[1:], default: dtype):
           scatter vs the Pallas MXU kernel at a config that passes the VMEM
           gate (batch 8, align=256).
   rna     RNA scoring f32 vs bf16 compute (bundled data + checkpoint).
+  fold    RNA scoring: folded sbf projection vs the unfolded table path.
+  variant QM9 recipe: PAMNet vs PAMNet_s (bf16).
 
 Each experiment prints one `AB <name> variant=... mol_s=...` line per variant.
 """
@@ -194,12 +196,93 @@ def exp_rna():
     print(f"AB rna speedup={b/max(a,a2):.3f}x (vs best f32)")
 
 
+def exp_fold():
+    """Folded sbf projection (models/pamnet.py fold_sbf) vs the unfolded
+    table path on RNA scoring — round-3 measured 227.8 -> 238.3 g/s with
+    scores agreeing to 1.2e-5 relative."""
+    run = exp_rna_runner()
+    cfg = PAMNetConfig(dataset="rna_native", dim=16, n_layer=1, cutoff_l=2.6,
+                       cutoff_g=20.0, flow="target_to_source")
+    a = run("unfolded", dataclasses.replace(cfg, fold_sbf=False))
+    b = run("folded", dataclasses.replace(cfg, fold_sbf=True))
+    a2 = run("unfolded_again", dataclasses.replace(cfg, fold_sbf=False))
+    print(f"AB fold speedup={b/max(a,a2):.3f}x (vs best unfolded)")
+
+
+def exp_rna_runner():
+    """Build the RNA scoring runner without executing the dtype A/B."""
+    import os
+
+    from pamnet_tpu.data.tu import TUDataset
+    from pamnet_tpu.models import apply_pamnet
+    from pamnet_tpu.train.checkpoint import load_torch_checkpoint
+    from pamnet_tpu.utils.runtime import resolve_path
+
+    ref = os.environ.get("PAMNET_REFERENCE_ROOT", "/root/reference")
+    data_root = resolve_path("./data/RNA-Puzzles", f"{ref}/data/RNA-Puzzles")
+    ckpt = resolve_path("./save/pamnet_rna.pt", f"{ref}/save/pamnet_rna.pt")
+    params = load_torch_checkpoint(ckpt)
+    mols = TUDataset(data_root, "rna_native").molecules()
+    loader = GraphLoader(mols, "rna", 2.6, 20.0, batch_size=16,
+                         build_tables=False)
+    batches = [jax.tree.map(jnp.asarray, gb) for gb in loader]
+
+    def run(variant, c):
+        fwd = jax.jit(lambda p, g, acc: acc + apply_pamnet(p, g, c).sum())
+        acc = jnp.float32(0.0)
+        for gb in batches:
+            acc = fwd(params, gb, acc)
+        ref_sum = float(acc)
+        best = None
+        for _ in range(3):
+            acc = jnp.float32(0.0)
+            t0 = time.time()
+            for _ in range(10):
+                for gb in batches:
+                    acc = fwd(params, gb, acc)
+            _ = float(acc)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        gps = 10 * len(mols) / best
+        print(f"AB variant={variant} graphs_s={gps:.1f} score_sum={ref_sum:.4f}")
+        return gps
+
+    return run
+
+
+def exp_variant():
+    """PAMNet vs PAMNet_s at the QM9 recipe (bf16) — round-3 measured
+    5,742.9 vs 6,414.0 mol/s same-process (+11.7%)."""
+    bs = 32
+    mols = synthetic_qm9_dataset(16 * bs, seed=480)
+
+    def one(variant):
+        cfg = PAMNetConfig(dataset="QM9", dim=128, n_layer=6, cutoff_l=5.0,
+                           cutoff_g=5.0, compute_dtype="bfloat16",
+                           variant=variant)
+        loader = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=bs,
+                             shuffle=False, drop_last=True, variant=variant)
+        batches = _stage(loader)
+        tiled, n_steps = _tile(batches, 512)
+        params = init_pamnet(jax.random.PRNGKey(480), cfg)
+        opt = make_optimizer(warmup_exponential(1e-4, steps_per_epoch=64),
+                             clip_norm=1000.0)
+        state = init_train_state(params, opt, use_ema=True)
+        return _run_scan("variant", variant, cfg, state, tiled, n_steps, bs)
+
+    a = one("full")
+    b = one("s")
+    a2 = one("full")
+    print(f"AB variant PAMNet_s speedup={b/max(a,a2):.3f}x (vs best full)")
+
+
 def main():
     enable_compilation_cache()
     print(f"devices: {jax.devices()}", file=sys.stderr)
     which = sys.argv[1:] or ["dtype"]
     for w in which:
-        {"dtype": exp_dtype, "pallas": exp_pallas, "rna": exp_rna}[w]()
+        {"dtype": exp_dtype, "pallas": exp_pallas, "rna": exp_rna,
+         "fold": exp_fold, "variant": exp_variant}[w]()
 
 
 if __name__ == "__main__":
