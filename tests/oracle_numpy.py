@@ -2,9 +2,15 @@
 
 This re-implements the reference math (models.py:100-224) directly from the
 paper-level formulas in double precision, consuming the raw torch state_dict
-(weights in torch (out, in) layout).  It shares *no* code with the JAX model
-other than the host graph builders (which have their own brute-force tests),
-so agreement between the two is strong evidence both are right.
+(weights in torch (out, in) layout).  Graph construction is ALSO re-derived
+here from the reference's index semantics (radius graph, self-loop removal,
+two-hop triplet and one-hop pair enumeration — loop-level code sharing no
+lines with ``pamnet_tpu.data.graphbuild``), so agreement between the oracle
+and the JAX model is evidence for the whole pipeline, not just the math.
+The single exception is the RNA branch's knn(50), taken from graphbuild:
+knn tie-breaking (distance ties broken by index) must match production
+bit-for-bit for edge sets to agree, and ``knn_graph_np`` carries its own
+brute-force oracle tests (tests/test_graphbuild.py).
 """
 
 from __future__ import annotations
@@ -13,6 +19,78 @@ import numpy as np
 from scipy import special
 
 from pamnet_tpu.data import graphbuild
+
+
+def _oracle_radius(pos, r, max_num_neighbors=1000):
+    """All (query, source) pairs with ||pos[q]-pos[s]|| <= r, self included,
+    per-query cap by ascending source index (reference: torch_cluster.radius
+    semantics at models.py:110,128).  Per-query loop, f32 like production."""
+    pos = np.asarray(pos, np.float32)
+    q_list, s_list = [], []
+    for q in range(pos.shape[0]):
+        d2 = ((pos - pos[q]) ** 2).sum(-1)
+        nbr = np.nonzero(d2 <= np.float32(r) * np.float32(r))[0]
+        nbr = nbr[:max_num_neighbors]
+        q_list.extend([q] * len(nbr))
+        s_list.extend(nbr.tolist())
+    return np.asarray([q_list, s_list], np.int64)
+
+
+def _oracle_drop_self_loops(edge_index):
+    """src != dst filter (reference: models.py:63)."""
+    e = np.asarray(edge_index, np.int64)
+    return e[:, e[0] != e[1]]
+
+
+def _oracle_triplets(edge_index, num_nodes):
+    """Two-hop triplets re-derived by direct loop: for each edge e=(j->i),
+    every edge e2=(k->j) with k != i (reference: models.py:74-84)."""
+    src, dst = [a.tolist() for a in np.asarray(edge_index, np.int64)]
+    in_edges = [[] for _ in range(num_nodes)]
+    for e, d in enumerate(dst):
+        in_edges[d].append(e)
+    ii, jj, kk, e_kj, e_ji = [], [], [], [], []
+    for e in range(len(src)):
+        j, i = src[e], dst[e]
+        for e2 in in_edges[j]:
+            k = src[e2]
+            if k == i:
+                continue
+            ii.append(i), jj.append(j), kk.append(k)
+            e_kj.append(e2), e_ji.append(e)
+    return {
+        "idx_i": np.asarray(ii, np.int32),
+        "idx_j": np.asarray(jj, np.int32),
+        "idx_k": np.asarray(kk, np.int32),
+        "idx_kj": np.asarray(e_kj, np.int32),
+        "idx_ji": np.asarray(e_ji, np.int32),
+    }
+
+
+def _oracle_pairs(edge_index, num_nodes):
+    """One-hop pairs re-derived by direct loop: for each edge e=(i->j1),
+    every edge e2=(j2->j1) with j2 != j1, the self pair e2 == e included
+    (reference: models.py:85-97)."""
+    src, dst = [a.tolist() for a in np.asarray(edge_index, np.int64)]
+    in_edges = [[] for _ in range(num_nodes)]
+    for e, d in enumerate(dst):
+        in_edges[d].append(e)
+    ii, j1s, j2s, e_jj, e_ji = [], [], [], [], []
+    for e in range(len(src)):
+        i, j1 = src[e], dst[e]
+        for e2 in in_edges[j1]:
+            j2 = src[e2]
+            if j2 == j1:
+                continue
+            ii.append(i), j1s.append(j1), j2s.append(j2)
+            e_jj.append(e2), e_ji.append(e)
+    return {
+        "idx_i": np.asarray(ii, np.int32),
+        "idx_j1": np.asarray(j1s, np.int32),
+        "idx_j2": np.asarray(j2s, np.int32),
+        "idx_jj": np.asarray(e_jj, np.int32),
+        "idx_ji": np.asarray(e_ji, np.int32),
+    }
 
 
 def silu(x):
@@ -177,10 +255,10 @@ def stack_forward(sd, x, pos, eg, el, n_layer, cutoff_l, cutoff_g, flow,
     dist_g = np.linalg.norm(pos[eg[1]] - pos[eg[0]], axis=-1)
     dist_l = np.linalg.norm(pos[dst] - pos[src], axis=-1)
 
-    t1 = graphbuild.pairs_np(el, n)
+    t1 = _oracle_pairs(el, n)
     angle1 = angles(pos, t1["idx_i"], t1["idx_j1"], t1["idx_j2"])
     if variant == "full":
-        t2 = graphbuild.triplets_np(el, n)
+        t2 = _oracle_triplets(el, n)
         angle2 = angles(pos, t2["idx_i"], t2["idx_j"], t2["idx_k"])
 
     rbf_l = bessel_rbf(sd, "rbf_l", dist_l, cutoff_l)
@@ -221,8 +299,10 @@ def rna_forward(sd, mol, n_layer=1, cutoff_l=2.6, cutoff_g=20.0):
     pos = mol["pos"].astype(np.float64)
     z = mol["z"].astype(np.int64)
 
+    # knn stays on graphbuild: distance-tie ordering must match production
+    # exactly for edge sets to agree (see module docstring).
     eknn = graphbuild.knn_graph_np(mol["pos"], 50, None)
-    eknn = graphbuild.remove_self_loops_np(eknn)
+    eknn = _oracle_drop_self_loops(eknn)
     d = np.linalg.norm(pos[eknn[1]] - pos[eknn[0]], axis=-1)
     eg = eknn[:, d <= cutoff_g]
     el = eknn[:, d <= cutoff_l]
@@ -240,12 +320,10 @@ def qm9_forward(sd, mol, n_layer, cutoff_l=5.0, cutoff_g=5.0, variant="full"):
     pos = mol["pos"].astype(np.float64)
     z = mol["z"].astype(np.int64)
 
-    el = graphbuild.remove_self_loops_np(
-        np.asarray(mol["edge_index"], np.int64).astype(np.int32)
-    )
+    el = _oracle_drop_self_loops(np.asarray(mol["edge_index"], np.int64))
     max_nb = 500 if variant == "s" else 1000
-    eg = graphbuild.radius_graph_np(mol["pos"], cutoff_g, None, max_nb)
-    eg = graphbuild.remove_self_loops_np(eg)
+    eg = _oracle_radius(mol["pos"], cutoff_g, max_nb)
+    eg = _oracle_drop_self_loops(eg)
 
     x = sd["embeddings"].astype(np.float64)[z]
     node_out = stack_forward(
@@ -262,10 +340,10 @@ def pdbbind_forward(sd, mol, n_layer, cutoff_l=2.0, cutoff_g=6.0):
     pos = np.asarray(mol["pos"], np.float64)
     feat = np.asarray(mol["feat"], np.float64)
 
-    eg = graphbuild.radius_graph_np(np.asarray(mol["pos"], np.float32),
-                                    cutoff_g, None, 1000)
-    eg = graphbuild.remove_self_loops_np(eg)
-    dist_g = graphbuild.edge_distances_np(eg, np.asarray(mol["pos"], np.float32))
+    eg = _oracle_radius(mol["pos"], cutoff_g, 1000)
+    eg = _oracle_drop_self_loops(eg)
+    p32 = np.asarray(mol["pos"], np.float32)
+    dist_g = np.sqrt(((p32[eg[1]] - p32[eg[0]]) ** 2).sum(-1)).astype(np.float32)
     el = eg[:, dist_g <= cutoff_l]
 
     x = linear(sd, "init_linear", feat)
