@@ -11,6 +11,9 @@ Experiments (select with argv[1:], default: dtype):
   rna     RNA scoring f32 vs bf16 compute (bundled data + checkpoint).
   fold    RNA scoring: folded sbf projection vs the unfolded table path.
   variant QM9 recipe: PAMNet vs PAMNet_s (bf16).
+  batch   QM9 recipe (bf16) at batch 32/64/128 — per-chip batching headroom.
+  devgraph QM9 recipe: host-precomputed structure vs on-device per-forward
+          rebuild (--device_graph), the reference's construction semantics.
 
 Each experiment prints one `AB <name> variant=... mol_s=...` line per variant.
 """
@@ -276,13 +279,74 @@ def exp_variant():
     print(f"AB variant PAMNet_s speedup={b/max(a,a2):.3f}x (vs best full)")
 
 
+def exp_batch():
+    """QM9 recipe (bf16) throughput vs batch size 32/64/128, same process.
+
+    The reference recipe fixes batch_size=32 (README.md:95); this measures
+    the per-chip headroom a production user gets by batching more molecules
+    per step (DEVNOTES round-1: 'batching more molecules per step' is a
+    lever that works).  Total molecules per dispatch is held constant
+    (steps scale down as batch scales up) so dispatch overhead is matched."""
+    results = {}
+    order = [32, 64, 128, 32]  # re-run 32 last to bound session drift
+    for i, bs in enumerate(order):
+        cfg = PAMNetConfig(dataset="QM9", dim=128, n_layer=6, cutoff_l=5.0,
+                           cutoff_g=5.0, compute_dtype="bfloat16")
+        mols = synthetic_qm9_dataset(16 * bs, seed=480)
+        loader = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=bs,
+                             shuffle=False, drop_last=True)
+        batches = _stage(loader)
+        tiled, n_steps = _tile(batches, 512 * 32 // bs)
+        params = init_pamnet(jax.random.PRNGKey(480), cfg)
+        opt = make_optimizer(warmup_exponential(1e-4, steps_per_epoch=64),
+                             clip_norm=1000.0)
+        state = init_train_state(params, opt, use_ema=True)
+        tag = f"bs{bs}" + ("_again" if i == 3 else "")
+        results[tag] = _run_scan("batch", tag, cfg, state, tiled, n_steps, bs)
+    base = max(results["bs32"], results["bs32_again"])
+    for bs in (64, 128):
+        print(f"AB batch bs{bs} scaling={results[f'bs{bs}'] / base:.3f}x "
+              f"(vs best bs32)")
+
+
+def exp_devgraph():
+    """QM9 recipe (bf16): host-precomputed structure (+ELL tables, the
+    production default) vs `device_graph` per-forward rebuild (the
+    reference's semantics, models.py:104-162; positions-change-under-jit
+    path).  Quantifies what the host-precompute design buys."""
+    bs = 32
+    mols = synthetic_qm9_dataset(16 * bs, seed=480)
+
+    def one(tag, device_graph):
+        cfg = PAMNetConfig(dataset="QM9", dim=128, n_layer=6, cutoff_l=5.0,
+                           cutoff_g=5.0, compute_dtype="bfloat16",
+                           device_graph=device_graph)
+        loader = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=bs,
+                             shuffle=False, drop_last=True,
+                             build_tables=not device_graph)
+        batches = _stage(loader)
+        tiled, n_steps = _tile(batches, 512)
+        params = init_pamnet(jax.random.PRNGKey(480), cfg)
+        opt = make_optimizer(warmup_exponential(1e-4, steps_per_epoch=64),
+                             clip_norm=1000.0)
+        state = init_train_state(params, opt, use_ema=True)
+        return _run_scan("devgraph", tag, cfg, state, tiled, n_steps, bs)
+
+    a = one("host_structs", False)
+    b = one("device_graph", True)
+    a2 = one("host_structs_again", False)
+    print(f"AB devgraph device_graph cost={max(a, a2)/b:.3f}x slower than "
+          f"host-precomputed (production default)")
+
+
 def main():
     enable_compilation_cache()
     print(f"devices: {jax.devices()}", file=sys.stderr)
     which = sys.argv[1:] or ["dtype"]
     for w in which:
         {"dtype": exp_dtype, "pallas": exp_pallas, "rna": exp_rna,
-         "fold": exp_fold, "variant": exp_variant}[w]()
+         "fold": exp_fold, "variant": exp_variant, "batch": exp_batch,
+         "devgraph": exp_devgraph}[w]()
 
 
 if __name__ == "__main__":
