@@ -68,6 +68,13 @@ class PAMNetConfig:
     # True/False force it.  Exact reassociation; removes the (T, ns*nr)
     # materialization + matmul streams over the triplet axis.
     fold_sbf: bool | None = None
+    # With fold_sbf active, additionally fuse the projected-sbf-table gather
+    # and the per-layer m_neighbor gather into ONE row gather per triplet
+    # (both are indexed by the same neighbor-edge id; at dim=16,
+    # (ns+1)*dim = 128 lanes = exactly one padded lane row).  Halves the
+    # random-gather rows on the triplet axis for n_layer=1 scoring.
+    # None = auto (on when fold_sbf is active and (ns+1)*dim <= 128).
+    fuse_sbf_gather: bool | None = None
     # Rebuild graph structure (edges + triplet tables) on device inside the
     # compiled forward from the current positions — the reference's
     # per-forward construction semantics (models.py:104-162), for positions

@@ -17,12 +17,46 @@ scalar head and attention logit consumed by the fusion module
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
 from pamnet_tpu import nn
 from pamnet_tpu.ops.ell import gather_ell, segment_sum_ell, segment_sum_sorted
 from pamnet_tpu.ops.segment import segment_sum
+
+
+class FoldedSBF(NamedTuple):
+    """Folded spherical-basis inputs for the fused triplet gather
+    (models/pamnet.py fold_sbf + fuse_sbf_gather): ``proj`` = the per-edge
+    radial table pre-projected through the model-level 1-layer sbf MLP,
+    (El, ns*dim); ``cbf`` = per-triplet Y_l0 values, (T, ns); ``bias`` =
+    that MLP's bias, (dim,)."""
+
+    proj: jax.Array
+    cbf: jax.Array
+    bias: jax.Array
+
+
+def _fused_sbf_gather(p, m_neighbor, folded: FoldedSBF, idx, t_mask):
+    """ONE row gather serving both the projected-sbf table and the neighbor
+    edge messages: both streams are indexed by the same neighbor-edge id, so
+    ``concat(proj, m_neighbor)[idx]`` reads one padded lane row per triplet
+    where the split gathers read two ((ns+1)*dim <= 128 gate; at the RNA
+    dim-16 shapes the concatenated row is exactly 128 lanes).  Returns the
+    modulated triplet messages ``m_neighbor[idx] * mlp_sbf(sbf)`` (reference:
+    local_message_passing.py:49-51), with padded triplets exact zeros."""
+    d = m_neighbor.shape[1]
+    ns = folded.proj.shape[1] // d
+    rows = jnp.concatenate(
+        [folded.proj, m_neighbor.astype(folded.proj.dtype)], axis=1
+    )[idx]
+    acc = folded.bias
+    for l in range(ns):
+        acc = acc + folded.cbf[:, l : l + 1] * rows[:, l * d : (l + 1) * d]
+    b = nn.mlp(p["mlp_sbf"], nn.silu(acc)) * t_mask[:, None]
+    return rows[:, ns * d :] * b
 
 
 def init_global_mp(key, dim: int):
@@ -204,6 +238,15 @@ def local_mp(
     # Triplet aggregation: gather neighbor-edge messages, modulate by the
     # angular basis, scatter-add back onto the center edge.  This is the hot
     # op (SURVEY.md section 3.2); padded triplets are masked to exact zero.
+    if isinstance(sbf2, FoldedSBF):
+        m2 = _fused_sbf_gather(p, m_neighbor, sbf2, t2_kj, t2_mask)
+        m1 = _fused_sbf_gather(p, m_neighbor, sbf1, t1_jj, t1_mask)
+        m_other = _agg(m2, t2_ji, t2_mask, num_edges, tables, "t2_ji") + _agg(
+            m1, t1_ji, t1_mask, num_edges, tables, "t1_ji"
+        )
+        return _local_tail(
+            p, x, res_x, m_ji + m_other, rbf, i, el_mask, num_nodes, tables
+        )
     b2 = nn.mlp(p["mlp_sbf"], sbf2) * t2_mask[:, None]
     b1 = nn.mlp(p["mlp_sbf"], sbf1) * t1_mask[:, None]
     if tables:
@@ -219,8 +262,15 @@ def local_mp(
         m_other = fused_triplet_aggregate(
             m_neighbor, b2, t2_kj, t2_ji, num_edges, p2
         ) + fused_triplet_aggregate(m_neighbor, b1, t1_jj, t1_ji, num_edges, p1)
-    m = m_ji + m_other
+    return _local_tail(
+        p, x, res_x, m_ji + m_other, rbf, i, el_mask, num_nodes, tables
+    )
 
+
+def _local_tail(p, x, res_x, m, rbf, i, el_mask, num_nodes, tables):
+    """Shared epilogue of both local-layer variants: rbf gating, edge->node
+    aggregation, residual update, scalar/attention heads (reference:
+    local_message_passing.py:53-66)."""
     m = nn.linear(p["lin_rbf_out"], rbf) * m
     m = m * el_mask[:, None]
     x = x + _agg(m, i, el_mask, num_nodes, tables, "el_dst")
@@ -251,19 +301,10 @@ def local_mp_s(
     m_neighbor = _edge_message(p["mlp_m_jj"], x, rbf, i, j, tables) * nn.linear(
         p["lin_rbf"], rbf
     )
-    b1 = nn.mlp(p["mlp_sbf"], sbf) * t1_mask[:, None]
-    m1 = _gath(m_neighbor, t1_jj, tables, "t1_jj") * b1
+    if isinstance(sbf, FoldedSBF):
+        m1 = _fused_sbf_gather(p, m_neighbor, sbf, t1_jj, t1_mask)
+    else:
+        b1 = nn.mlp(p["mlp_sbf"], sbf) * t1_mask[:, None]
+        m1 = _gath(m_neighbor, t1_jj, tables, "t1_jj") * b1
     m = m_ji + _agg(m1, t1_ji, t1_mask, num_edges, tables, "t1_ji")
-
-    m = nn.linear(p["lin_rbf_out"], rbf) * m
-    m = m * el_mask[:, None]
-    x = x + _agg(m, i, el_mask, num_nodes, tables, "el_dst")
-    x = nn.mlp(p["mlp_x2"], x)
-
-    x = nn.res(p["res1"], x) + res_x
-    x = nn.res(p["res2"], x)
-    x = nn.res(p["res3"], x)
-
-    out = nn.mlp(p["mlp_out"], x)
-    att = out @ p["W"].astype(out.dtype)
-    return x, nn.linear(p["W_out"], out), att
+    return _local_tail(p, x, res_x, m, rbf, i, el_mask, num_nodes, tables)

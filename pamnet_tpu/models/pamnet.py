@@ -159,30 +159,57 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
              else ns * cfg.dim <= 128)
         and len(params.get("mlp_sbf1", params.get("mlp_sbf", []))) == 1
     )
+    tables = g.tables if (cfg.scatter_free and g.tables is not None) else None
     if fold_sbf:
         sbf_table_f = g.sbf_radial.astype(cdt)
 
-        def projected_attr(mlp_p, idx, cbf):
+        def projected(mlp_p):
             w = mlp_p[0]["w"].astype(cdt)  # (ns*nr, dim)
             b = mlp_p[0]["b"].astype(cdt)
-            d = w.shape[1]
             proj = jnp.concatenate(
                 [sbf_table_f[:, l * nr:(l + 1) * nr] @ w[l * nr:(l + 1) * nr]
                  for l in range(ns)],
                 axis=1,
             )  # (El, ns*dim)
-            rows = proj[idx]  # one padded lane-row per triplet, as before
-            cbf_c = cbf.astype(cdt)
-            out = b
-            for l in range(ns):
-                out = out + cbf_c[:, l:l + 1] * rows[:, l * d:(l + 1) * d]
-            return nn.silu(out)
+            return proj, b
 
-        if use_two_hop:
-            edge_attr_sbf2 = projected_attr(params["mlp_sbf2"], g.t2_kj, g.cbf2)
-            edge_attr_sbf1 = projected_attr(params["mlp_sbf1"], g.t1_jj, g.cbf1)
+        # Fuse the projected-table gather with the per-layer m_neighbor
+        # gather (same neighbor-edge index; one lane row serves both when
+        # (ns+1)*dim <= 128).  Auto-off when ELL triplet tables are present:
+        # the fused plain gather would forfeit their scatter-free backward.
+        fuse = (cfg.fuse_sbf_gather if cfg.fuse_sbf_gather is not None
+                else ((ns + 1) * cfg.dim <= 128
+                      and not (tables and "t1_jj" in tables)))
+        if fuse:
+            def folded_attr(mlp_p, cbf):
+                proj, b = projected(mlp_p)
+                return L.FoldedSBF(proj, cbf.astype(cdt), b)
+
+            if use_two_hop:
+                edge_attr_sbf2 = folded_attr(params["mlp_sbf2"], g.cbf2)
+                edge_attr_sbf1 = folded_attr(params["mlp_sbf1"], g.cbf1)
+            else:
+                edge_attr_sbf = folded_attr(params["mlp_sbf"], g.cbf1)
         else:
-            edge_attr_sbf = projected_attr(params["mlp_sbf"], g.t1_jj, g.cbf1)
+            def projected_attr(mlp_p, idx, cbf):
+                proj, b = projected(mlp_p)
+                d = cfg.dim
+                rows = proj[idx]  # one padded lane-row per triplet
+                cbf_c = cbf.astype(cdt)
+                out = b
+                for l in range(ns):
+                    out = out + cbf_c[:, l:l + 1] * rows[:, l * d:(l + 1) * d]
+                return nn.silu(out)
+
+            if use_two_hop:
+                edge_attr_sbf2 = projected_attr(
+                    params["mlp_sbf2"], g.t2_kj, g.cbf2
+                )
+                edge_attr_sbf1 = projected_attr(
+                    params["mlp_sbf1"], g.t1_jj, g.cbf1
+                )
+            else:
+                edge_attr_sbf = projected_attr(params["mlp_sbf"], g.t1_jj, g.cbf1)
     elif g.sbf_radial is not None:
         # Gather the FLAT (El, ns*nr) table and expand cbf to ns*nr lanes:
         # gathering a reshaped (El, ns, nr) view materializes (T, ns, nr)
@@ -225,15 +252,15 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
     el_mask = g.el_mask.astype(cdt)
     t2_mask = g.t2_mask.astype(cdt)
     t1_mask = g.t1_mask.astype(cdt)
-    if use_two_hop:
-        edge_attr_sbf2 = edge_attr_sbf2.astype(cdt)
-        edge_attr_sbf1 = edge_attr_sbf1.astype(cdt)
-    else:
-        edge_attr_sbf = edge_attr_sbf.astype(cdt)
+    if not fold_sbf:  # fold paths already produced compute-dtype outputs
+        if use_two_hop:
+            edge_attr_sbf2 = edge_attr_sbf2.astype(cdt)
+            edge_attr_sbf1 = edge_attr_sbf1.astype(cdt)
+        else:
+            edge_attr_sbf = edge_attr_sbf.astype(cdt)
 
     # ---- plex loop (reference: models.py:196-204) ----
     outs_g, atts_g, outs_l, atts_l = [], [], [], []
-    tables = g.tables if (cfg.scatter_free and g.tables is not None) else None
 
     if cfg.scan_layers and cfg.n_layer > 1:
         def body(x, layer_params):
