@@ -212,6 +212,25 @@ def exp_fold():
     print(f"AB fold speedup={b/max(a,a2):.3f}x (vs best unfolded)")
 
 
+def exp_fuse():
+    """Fused sbf+m_neighbor triplet gather (config.fuse_sbf_gather: one
+    concatenated lane row per triplet) vs the split folded gathers vs
+    unfolded, on RNA scoring.  Also A/Bs the bf16 compound."""
+    run = exp_rna_runner()
+    cfg = PAMNetConfig(dataset="rna_native", dim=16, n_layer=1, cutoff_l=2.6,
+                       cutoff_g=20.0, flow="target_to_source")
+    a = run("fold_nofuse", dataclasses.replace(
+        cfg, fold_sbf=True, fuse_sbf_gather=False))
+    b = run("fold_fuse", dataclasses.replace(
+        cfg, fold_sbf=True, fuse_sbf_gather=True))
+    a2 = run("fold_nofuse_again", dataclasses.replace(
+        cfg, fold_sbf=True, fuse_sbf_gather=False))
+    print(f"AB fuse speedup={b/max(a,a2):.3f}x (vs best fold_nofuse)")
+    c = run("fuse_bf16", dataclasses.replace(
+        cfg, fold_sbf=True, fuse_sbf_gather=True, compute_dtype="bfloat16"))
+    print(f"AB fuse+bf16 speedup={c/max(a,a2):.3f}x (vs best f32 fold_nofuse)")
+
+
 def exp_rna_runner():
     """Build the RNA scoring runner without executing the dtype A/B."""
     import os
@@ -345,7 +364,8 @@ def main():
     which = sys.argv[1:] or ["dtype"]
     for w in which:
         {"dtype": exp_dtype, "pallas": exp_pallas, "rna": exp_rna,
-         "fold": exp_fold, "variant": exp_variant, "batch": exp_batch,
+         "fold": exp_fold, "fuse": exp_fuse, "variant": exp_variant,
+         "batch": exp_batch,
          "devgraph": exp_devgraph}[w]()
 
 
