@@ -9,6 +9,7 @@ import dataclasses
 import numpy as np
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 
 from pamnet_tpu.config import PAMNetConfig
@@ -77,6 +78,45 @@ def test_folded_matches_unfolded_s_variant(rng):
     gb = jax.tree.map(jnp.asarray, collate_structures(structs))
     a, b = _ab(cfg, gb)
     np.testing.assert_allclose(a[:3], b[:3], rtol=2e-5, atol=2e-6)
+
+
+def test_fused_matches_split_fold(rng):
+    """fuse_sbf_gather=True (one concatenated lane-row gather per triplet)
+    vs =False (separate projected-table and message gathers) must be an
+    exact reassociation on the fold path."""
+    cfg = PAMNetConfig(dataset="rna_t", dim=16, n_layer=1, cutoff_l=2.6,
+                       cutoff_g=20.0, flow="target_to_source")
+    gb, n = _rna_batch(rng, cfg)
+    params = init_pamnet(jax.random.PRNGKey(1), cfg)
+    split = dataclasses.replace(cfg, fold_sbf=True, fuse_sbf_gather=False)
+    fused = dataclasses.replace(cfg, fold_sbf=True, fuse_sbf_gather=True)
+    a = np.asarray(jax.jit(apply_pamnet, static_argnums=2)(params, gb, fused))
+    b = np.asarray(jax.jit(apply_pamnet, static_argnums=2)(params, gb, split))
+    np.testing.assert_allclose(a[:n], b[:n], rtol=2e-5, atol=2e-6)
+
+
+def test_fold_gradients_match_unfolded(rng):
+    """The fold/fuse path is live in small-dim TRAINING (RNA recipe:
+    dim=16, no ELL tables when --no_ell_tables / device data): parameter
+    gradients through the folded+fused forward must match the unfolded
+    table path."""
+    cfg = PAMNetConfig(dataset="rna_t", dim=16, n_layer=1, cutoff_l=2.6,
+                       cutoff_g=20.0, flow="target_to_source")
+    gb, n = _rna_batch(rng, cfg)
+    params = init_pamnet(jax.random.PRNGKey(2), cfg)
+
+    def loss(p, c):
+        return apply_pamnet(p, gb, c)[:n].sum()
+
+    gfold = jax.grad(loss)(params, dataclasses.replace(cfg, fold_sbf=True,
+                                                       fuse_sbf_gather=True))
+    gflat = jax.grad(loss)(params, dataclasses.replace(cfg, fold_sbf=False))
+    flat_a, _ = jax.flatten_util.ravel_pytree(gfold)
+    flat_b, _ = jax.flatten_util.ravel_pytree(gflat)
+    scale = np.maximum(np.abs(np.asarray(flat_b)), 1e-3)
+    np.testing.assert_allclose(np.asarray(flat_a) / scale,
+                               np.asarray(flat_b) / scale,
+                               rtol=0, atol=5e-4)
 
 
 def test_auto_gate_by_width():
