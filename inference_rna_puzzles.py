@@ -104,6 +104,10 @@ def main():
         ds.molecules(), cfg.dataset_kind, cfg.cutoff_l, cfg.cutoff_g,
         batch_size=args.batch_size, shuffle=False,
         build_tables=False,  # inference: scatter-free tables don't pay here
+        # Tail/partial batches run in their own smaller padding bucket
+        # (+42% on the 21-structure set; tools/tpu_ab.py ladder).  Scores
+        # are pad-invariant (test_rna_parity goldens cover this path).
+        ladder_pads=True,
     )
     fwd = jax.jit(lambda p, g: apply_pamnet(p, g, cfg))
 

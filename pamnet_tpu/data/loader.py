@@ -37,6 +37,15 @@ class GraphLoader:
         (or pre-compute global worst-case pads): per-process widening would
         diverge batch shapes across shards and break shard_map collectives.
       drop_last: drop the trailing partial batch (training) or pad it (eval).
+      ladder_pads: pad each batch to a geometric bucket of ITS OWN counts
+        (capped at the worst-case pads) instead of one fixed worst-case
+        bucket.  Partial/tail batches then run in proportionally smaller
+        compiled shapes — e.g. the 5-graph tail of the 21-structure RNA
+        scoring set stops paying 16-graph triplet-gather cost.  Costs one
+        XLA compile per distinct bucket (O(log sizes) by construction);
+        intended for inference.  Keep False for shard_map DP (uniform
+        shapes across shards) and scan-block training (uniform shapes
+        along the scan axis).
     """
 
     def __init__(
@@ -52,6 +61,7 @@ class GraphLoader:
         pads: PadSizes | None = None,
         strict_pads: bool = False,
         drop_last: bool = False,
+        ladder_pads: bool = False,
         align: int = 128,
         build_tables: bool = True,
         precompute_basis: bool = True,
@@ -65,6 +75,8 @@ class GraphLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.ladder_pads = ladder_pads
+        self._align = align
         self.build_tables = build_tables
         self._rng = np.random.default_rng(seed)
         if not mols:
@@ -133,6 +145,7 @@ class GraphLoader:
         plus dataset-max ELL table widths.  One compiled shape for the whole
         dataset."""
         counts = np.array([structure_counts(s) for s in self.structs])
+        self._counts = counts  # (M, 5): n, eg, el, t2, t1 per structure
         b = min(self.batch_size, len(self.structs))
         tops = np.sort(counts, axis=0)[-b:]  # (b, 5) largest per column
         n, eg, el, t2, t1 = tops.sum(axis=0)
@@ -171,6 +184,24 @@ class GraphLoader:
             out.append(chunk.tolist())
         return out
 
+    def _batch_pads(self, idxs: list[int]) -> PadSizes:
+        """Geometric bucket for ONE batch's summed counts, capped at the
+        fixed worst-case pads (which always cover the counts, so the cap is
+        safe); ELL widths stay the dataset-wide maxima so table shapes only
+        vary with the bucketed group dims."""
+        import dataclasses as _dc
+
+        n, eg, el, t2, t1 = self._counts[idxs].sum(axis=0)
+        b = PadSizes.bucketed(int(n), max(int(eg), 1), max(int(el), 1),
+                              max(int(t2), 1), max(int(t1), 1), len(idxs),
+                              align=self._align)
+        w = self.pads
+        return _dc.replace(
+            w,
+            n=min(b.n, w.n), eg=min(b.eg, w.eg), el=min(b.el, w.el),
+            t2=min(b.t2, w.t2), t1=min(b.t1, w.t1), g=min(b.g, w.g),
+        )
+
     def _plan(self):
         """Native collate plan (built lazily, once): per-field address/length
         tables so each batch field is a single C concat-offset-pad pass."""
@@ -186,14 +217,15 @@ class GraphLoader:
     def __iter__(self):
         plan = self._plan()
         for idxs in self.batches():
+            pads = self._batch_pads(idxs) if self.ladder_pads else self.pads
             if plan is not None:
                 yield collate_structures(
-                    None, self.pads, build_tables=self.build_tables,
+                    None, pads, build_tables=self.build_tables,
                     plan=plan, idxs=idxs,
                 )
             else:
                 yield collate_structures(
-                    [self.structs[i] for i in idxs], self.pads,
+                    [self.structs[i] for i in idxs], pads,
                     build_tables=self.build_tables,
                 )
 

@@ -127,3 +127,43 @@ def test_drop_last(rng):
                          drop_last=True)
     assert len(loader) == 2
     assert sum(1 for _ in loader) == 2
+
+
+def test_ladder_pads_shrink_tail_and_match_fixed(rng):
+    """ladder_pads=True: the trailing partial batch pads to a smaller
+    bucket than the fixed worst case, every bucket stays within the fixed
+    pads, and model outputs per graph are unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    from pamnet_tpu.config import PAMNetConfig
+    from pamnet_tpu.models import apply_pamnet, init_pamnet
+
+    mols = _mols(rng, 11)  # 8 + 3 tail at batch_size=8
+    fixed = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=8,
+                        build_tables=False, align=8)
+    ladder = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=8,
+                         build_tables=False, ladder_pads=True, align=8)
+    fb = list(fixed)
+    lb = list(ladder)
+    assert len(fb) == len(lb) == 2
+    # The tail bucket must be no larger anywhere and strictly smaller in
+    # the triplet dim (3 small molecules vs the 8-largest worst case).
+    assert lb[1].z.shape[0] <= fb[1].z.shape[0]
+    assert lb[1].t1_jj.shape[0] < fb[1].t1_jj.shape[0]
+
+    cfg = PAMNetConfig(dataset="QM9", dim=16, n_layer=1, cutoff_l=5.0,
+                       cutoff_g=5.0)
+    params = init_pamnet(jax.random.PRNGKey(0), cfg)
+    run = jax.jit(apply_pamnet, static_argnums=2)
+    preds_f, preds_l = [], []
+    for fgb, lgb in zip(fb, lb):
+        nf = int(fgb.graph_mask.sum())
+        nl = int(lgb.graph_mask.sum())
+        assert nf == nl
+        preds_f.append(np.asarray(run(params, jax.tree.map(jnp.asarray, fgb),
+                                      cfg))[:nf])
+        preds_l.append(np.asarray(run(params, jax.tree.map(jnp.asarray, lgb),
+                                      cfg))[:nl])
+    np.testing.assert_allclose(np.concatenate(preds_l),
+                               np.concatenate(preds_f), rtol=2e-5, atol=2e-6)

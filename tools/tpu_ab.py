@@ -104,6 +104,96 @@ def exp_dtype():
     print(f"AB dtype speedup={b/max(a,a2):.3f}x (vs best f32)")
 
 
+def exp_flatopt():
+    """Per-leaf kernel overhead in the optimizer/EMA tail of the train step:
+    the round-2 trace attributed 0.26 ms/step to the EMA update alone —
+    ~16x its HBM-traffic floor, i.e. ~200 tiny per-leaf kernels.  Variants:
+      tree      production step (tree Adam + tree EMA)
+      no_ema    EMA removed entirely (upper bound on the EMA win)
+      flat_ema  EMA on ravel_pytree(params): 2 kernels instead of ~200
+      flat_all  optax.flatten(Adam chain) + flat EMA
+    """
+    from jax.flatten_util import ravel_pytree
+
+    import optax
+
+    from pamnet_tpu.models import apply_pamnet
+    from pamnet_tpu.train.loop import TrainState, _loss_terms
+
+    cfg = PAMNetConfig(dataset="QM9", dim=128, n_layer=6,
+                       cutoff_l=5.0, cutoff_g=5.0, compute_dtype="bfloat16")
+    bs = 32
+    mols = synthetic_qm9_dataset(16 * bs, seed=480)
+    loader = GraphLoader(mols, "qm9", cfg.cutoff_l, cfg.cutoff_g,
+                         batch_size=bs, shuffle=False, drop_last=True)
+    batches = _stage(loader)
+    tiled, n_steps = _tile(batches, 512)
+    params = init_pamnet(jax.random.PRNGKey(480), cfg)
+
+    def make_run(flat_opt, ema_mode):
+        base = make_optimizer(warmup_exponential(1e-4, steps_per_epoch=64),
+                              clip_norm=1000.0)
+        optimizer = optax.flatten(base) if flat_opt else base
+
+        def loss_fn(p, batch):
+            pred = apply_pamnet(p, batch, cfg)
+            total, count = _loss_terms(pred, batch.y, batch.graph_mask, "l1")
+            return total / jnp.maximum(count, 1.0)
+
+        def body(state, batch):
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            p = optax.apply_updates(state.params, updates)
+            if ema_mode == "tree":
+                ema = jax.tree.map(lambda s, q: 0.001 * q + 0.999 * s,
+                                   state.ema, p)
+            elif ema_mode == "flat":
+                ema = 0.001 * ravel_pytree(p)[0] + 0.999 * state.ema
+            else:
+                ema = None
+            return TrainState(p, opt_state, ema, state.step + 1), loss
+
+        ema0 = (ravel_pytree(params)[0] if ema_mode == "flat"
+                else jax.tree.map(lambda x: x, params) if ema_mode == "tree"
+                else None)
+        state = TrainState(params, optimizer.init(params), ema0,
+                           jnp.zeros((), jnp.int32))
+
+        @jax.jit
+        def run(st, blk):
+            return jax.lax.scan(body, st, blk)
+
+        return run, state
+
+    def timed(variant, flat_opt, ema_mode):
+        run, state = make_run(flat_opt, ema_mode)
+        t0 = time.time()
+        _, losses = run(state, tiled)
+        _ = float(losses[-1])
+        print(f"  [{variant}] compile+first: {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            _, losses = run(state, tiled)
+            last = float(losses[-1])
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        mol_s = n_steps * bs / best
+        print(f"AB flatopt variant={variant} ms_step={best/n_steps*1e3:.3f} "
+              f"mol_s={mol_s:.1f} loss={last:.4f}")
+        return mol_s
+
+    a = timed("tree", False, "tree")
+    timed("no_ema", False, "none")
+    c = timed("flat_ema", False, "flat")
+    d = timed("flat_all", True, "flat")
+    a2 = timed("tree_again", False, "tree")
+    print(f"AB flatopt flat_ema={c/max(a,a2):.3f}x flat_all={d/max(a,a2):.3f}x"
+          f" (vs best tree)")
+
+
 def exp_pallas():
     from pamnet_tpu.ops.pallas_triplet import fits_pallas
 
@@ -229,6 +319,56 @@ def exp_fuse():
     c = run("fuse_bf16", dataclasses.replace(
         cfg, fold_sbf=True, fuse_sbf_gather=True, compute_dtype="bfloat16"))
     print(f"AB fuse+bf16 speedup={c/max(a,a2):.3f}x (vs best f32 fold_nofuse)")
+
+
+def exp_ladder():
+    """Per-batch ladder pads (GraphLoader ladder_pads=True) vs the fixed
+    worst-case bucket on RNA scoring: the 21-structure set batches as 16+5,
+    and the 5-graph tail otherwise pays full 16-graph triplet cost."""
+    import os
+
+    from pamnet_tpu.data.tu import TUDataset
+    from pamnet_tpu.models import apply_pamnet
+    from pamnet_tpu.train.checkpoint import load_torch_checkpoint
+    from pamnet_tpu.utils.runtime import resolve_path
+
+    ref = os.environ.get("PAMNET_REFERENCE_ROOT", "/root/reference")
+    data_root = resolve_path("./data/RNA-Puzzles", f"{ref}/data/RNA-Puzzles")
+    ckpt = resolve_path("./save/pamnet_rna.pt", f"{ref}/save/pamnet_rna.pt")
+    cfg = PAMNetConfig(dataset="rna_native", dim=16, n_layer=1, cutoff_l=2.6,
+                       cutoff_g=20.0, flow="target_to_source")
+    params = load_torch_checkpoint(ckpt)
+    mols = TUDataset(data_root, "rna_native").molecules()
+
+    def run(variant, ladder):
+        loader = GraphLoader(mols, "rna", cfg.cutoff_l, cfg.cutoff_g,
+                             batch_size=16, build_tables=False,
+                             ladder_pads=ladder)
+        batches = [jax.tree.map(jnp.asarray, gb) for gb in loader]
+        fwd = jax.jit(lambda p, g, acc: acc + apply_pamnet(p, g, cfg).sum())
+        acc = jnp.float32(0.0)
+        for gb in batches:
+            acc = fwd(params, gb, acc)
+        ref_sum = float(acc)
+        best = None
+        for _ in range(3):
+            acc = jnp.float32(0.0)
+            t0 = time.time()
+            for _ in range(10):
+                for gb in batches:
+                    acc = fwd(params, gb, acc)
+            _ = float(acc)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        gps = 10 * len(mols) / best
+        print(f"AB ladder variant={variant} graphs_s={gps:.1f} "
+              f"score_sum={ref_sum:.4f}")
+        return gps
+
+    a = run("fixed", False)
+    b = run("ladder", True)
+    a2 = run("fixed_again", False)
+    print(f"AB ladder speedup={b/max(a,a2):.3f}x (vs best fixed)")
 
 
 def exp_rna_runner():
@@ -364,8 +504,8 @@ def main():
     which = sys.argv[1:] or ["dtype"]
     for w in which:
         {"dtype": exp_dtype, "pallas": exp_pallas, "rna": exp_rna,
-         "fold": exp_fold, "fuse": exp_fuse, "variant": exp_variant,
-         "batch": exp_batch,
+         "fold": exp_fold, "fuse": exp_fuse, "ladder": exp_ladder,
+         "variant": exp_variant, "batch": exp_batch,
          "devgraph": exp_devgraph}[w]()
 
 
