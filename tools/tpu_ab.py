@@ -503,7 +503,8 @@ def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
     which = sys.argv[1:] or ["dtype"]
     for w in which:
-        {"dtype": exp_dtype, "pallas": exp_pallas, "rna": exp_rna,
+        {"dtype": exp_dtype, "flatopt": exp_flatopt,
+         "pallas": exp_pallas, "rna": exp_rna,
          "fold": exp_fold, "fuse": exp_fuse, "ladder": exp_ladder,
          "variant": exp_variant, "batch": exp_batch,
          "devgraph": exp_devgraph}[w]()
