@@ -57,6 +57,11 @@ def main():
                              'shift ~1e-3 relative — see DEVNOTES.md)')
     parser.add_argument('--platform', type=str, default='auto',
                         help='jax platform (auto|cpu|axon|tpu)')
+    parser.add_argument('--fixed_pads', action='store_true',
+                        help='Pad every batch to one fixed worst-case bucket '
+                             '(single compiled shape) instead of per-batch '
+                             'ladder buckets; slower but useful when compile '
+                             'count matters more than throughput')
     args = parser.parse_args()
 
     set_seed(args.seed)
@@ -107,7 +112,7 @@ def main():
         # Tail/partial batches run in their own smaller padding bucket
         # (+42% on the 21-structure set; tools/tpu_ab.py ladder).  Scores
         # are pad-invariant (test_rna_parity goldens cover this path).
-        ladder_pads=True,
+        ladder_pads=not args.fixed_pads,
     )
     fwd = jax.jit(lambda p, g: apply_pamnet(p, g, cfg))
 

@@ -10,6 +10,12 @@ Experiments (select with argv[1:], default: dtype):
           gate (batch 8, align=256).
   rna     RNA scoring f32 vs bf16 compute (bundled data + checkpoint).
   fold    RNA scoring: folded sbf projection vs the unfolded table path.
+  fuse    RNA scoring: fused sbf+message single-row triplet gather vs the
+          split folded gathers (+ the bf16 compound).
+  ladder  RNA scoring: per-batch ladder padding buckets vs one fixed
+          worst-case bucket.
+  flatopt QM9 recipe: per-leaf vs flattened optimizer/EMA tails (measured
+          refutation — tree is already at its floor).
   variant QM9 recipe: PAMNet vs PAMNet_s (bf16).
   batch   QM9 recipe (bf16) at batch 32/64/128 — per-chip batching headroom.
   devgraph QM9 recipe: host-precomputed structure vs on-device per-forward
