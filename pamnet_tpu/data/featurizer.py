@@ -11,19 +11,29 @@ consumed by models.py:35 ``init_linear(18, dim)``):
   [13:18] SMARTS-defined flags: hydrophobic, aromatic, acceptor, donor, ring
           (reference SMARTS at featurizer.py:124-131)
 
-The five SMARTS flags are re-implemented *semantically* on the parsed mol2
-graph instead of via a SMARTS engine; the definitions below document the
-intended chemistry of each reference pattern.  Documented approximations:
+The five flags are computed by evaluating the reference's LITERAL SMARTS
+patterns (copied verbatim below — they are the spec) with the first-party
+SMARTS-subset engine in ``pamnet_tpu/data/smarts.py``, over a perception
+layer derived from the parsed mol2.  The remaining OpenBabel-parity caveats
+are therefore confined to *perception*, not pattern semantics:
 
 * partial charges come from the mol2 file (PDBbind ships Gasteiger-style
   charges) rather than being recomputed;
-* formal charges are approximated as neutral (mol2 carries none) — affects
-  only the *+1/*+2/*+3 exclusions of the acceptor pattern and the anion
-  exclusions of the donor pattern for rare charged species;
-* the donor test counts *explicit* hydrogens (PDBbind mol2 files are
-  protonated, so this matches OpenBabel's implicit+explicit H count there);
+* formal charges are perceived structurally for the cations the patterns
+  test (``*+1``): tetravalent N (ammonium/quaternary), tetravalent P
+  (phosphonium), trivalent-v3 S (sulfonium); anions default to 0 (mol2
+  carries no formal charges) — affects only the ``-``/``-2``/``-3`` donor
+  exclusions for rare H-bearing anions;
+* H counts are *explicit* hydrogens (PDBbind mol2 files are protonated, so
+  this matches OpenBabel's implicit+explicit H count there);
 * hybridization comes from the SYBYL type suffix rather than OpenBabel's
-  perception (exotic types default to sp3).
+  perception (exotic types default to sp3);
+* aromaticity = SYBYL ``.ar`` types / ``ar`` bonds rather than OpenBabel's
+  aromaticity model.
+
+``pamnet_tpu/data/featurizer_divergences.py`` enumerates the concrete
+divergence cases these approximations produce, machine-checkable on any
+OpenBabel-equipped host via tools/compare_openbabel.py.
 """
 
 from __future__ import annotations
@@ -31,6 +41,18 @@ from __future__ import annotations
 import numpy as np
 
 from pamnet_tpu.data.mol2 import Mol2
+from pamnet_tpu.data.smarts import PerceivedMol, compile_smarts
+
+# The reference's SMARTS definitions, verbatim (utils/featurizer.py:124-131).
+REFERENCE_SMARTS = {
+    "hydrophobic": "[#6+0!$(*~[#7,#8,F]),SH0+0v2,s+0,S^3,Cl+0,Br+0,I+0]",
+    "aromatic": "[a]",
+    "acceptor":
+        "[!$([#1,#6,F,Cl,Br,I,o,s,nX3,#7v5,#15v5,#16v4,#16v6,*+1,*+2,*+3])]",
+    "donor": "[!$([#6,H0,-,-2,-3]),$([!H0;#7,#8,#9])]",
+    "ring": "[r]",
+}
+_COMPILED = {k: compile_smarts(v) for k, v in REFERENCE_SMARTS.items()}
 
 _METALS = set(
     [3, 4, 11, 12, 13]
@@ -128,6 +150,49 @@ def _ring_atoms(n: int, bonds) -> np.ndarray:
     return in_ring
 
 
+def perceive_mol2(mol: Mol2) -> PerceivedMol:
+    """Perception arrays for SMARTS evaluation (the documented OpenBabel
+    approximations live HERE; see the module docstring)."""
+    n = len(mol)
+    z = mol.atomic_num
+
+    nbrs = [[] for _ in range(n)]
+    arom_bond = np.zeros(n, dtype=bool)
+    valence = np.zeros(n, dtype=np.float64)
+    for a, b, order in mol.bonds:
+        nbrs[a].append((b, order))
+        nbrs[b].append((a, order))
+        if order == "ar":
+            arom_bond[a] = arom_bond[b] = True
+        v = _ORDER_VALENCE.get(order, 1.0)
+        valence[a] += v
+        valence[b] += v
+    valence = np.round(valence).astype(np.int64)
+
+    aromatic = arom_bond | np.array(
+        [s.endswith(".ar") for s in mol.sybyl], dtype=bool
+    )
+    conn = np.array([len(nbrs[v]) for v in range(n)], dtype=np.int64)
+    num_h = np.array(
+        [sum(z[w] == 1 for w, _ in nbrs[v]) for v in range(n)], dtype=np.int64
+    )
+    hyb = np.array([_hybridization(s) for s in mol.sybyl], dtype=np.int64)
+
+    # Structural formal-charge perception for the cations the reference
+    # patterns test (*+1): ammonium/quaternary N, phosphonium P, sulfonium
+    # S.  Anions stay 0 (mol2 has no formal charges; documented).
+    fc = np.zeros(n, dtype=np.int64)
+    fc[(z == 7) & (conn == 4) & (valence == 4)] = 1
+    fc[(z == 15) & (conn == 4) & (valence == 4)] = 1
+    fc[(z == 16) & (conn == 3) & (valence == 3)] = 1
+
+    return PerceivedMol(
+        z=z, aromatic=aromatic, formal_charge=fc, num_h=num_h,
+        connectivity=conn, valence=valence, hyb=hyb,
+        in_ring=_ring_atoms(n, mol.bonds), neighbors=nbrs,
+    )
+
+
 def featurize_mol2(mol: Mol2, molcode: float | None = None):
     """(coords, features) over heavy atoms (reference API:
     Featurizer.get_features, utils/featurizer.py:204-261).  With
@@ -137,65 +202,23 @@ def featurize_mol2(mol: Mol2, molcode: float | None = None):
     z = mol.atomic_num
     heavy = z > 1
 
-    # Graph helpers over ALL atoms (H's count for H-attachment tests).
-    nbrs = [[] for _ in range(n)]
-    arom_bond = np.zeros(n, dtype=bool)
-    for a, b, order in mol.bonds:
-        nbrs[a].append(b)
-        nbrs[b].append(a)
-        if order == "ar":
-            arom_bond[a] = arom_bond[b] = True
-
-    in_ring = _ring_atoms(n, mol.bonds)
-    hyb = np.array([_hybridization(s) for s in mol.sybyl], dtype=np.float32)
+    pm = perceive_mol2(mol)
+    hyb = pm.hyb.astype(np.float32)
     heavydeg = np.array(
-        [sum(z[w] > 1 for w in nbrs[v]) for v in range(n)], dtype=np.float32
-    )
-    heterodeg = np.array(
-        [sum(z[w] not in (1, 6) and z[w] > 1 for w in nbrs[v]) for v in range(n)],
+        [sum(z[w] > 1 for w, _ in pm.neighbors[v]) for v in range(n)],
         dtype=np.float32,
     )
-    has_h = np.array([any(z[w] == 1 for w in nbrs[v]) for v in range(n)])
-    aromatic = arom_bond | np.array(
-        [s.endswith(".ar") for s in mol.sybyl], dtype=bool
+    heterodeg = np.array(
+        [sum(z[w] not in (1, 6) and z[w] > 1 for w, _ in pm.neighbors[v])
+         for v in range(n)],
+        dtype=np.float32,
     )
 
-    # --- SMARTS-flag semantics (reference patterns featurizer.py:124-131) ---
-    # hydrophobic: neutral carbon with no N/O/F neighbor; divalent
-    # no-H sulfur / aromatic or sp3 sulfur; neutral Cl/Br/I.
-    no_nof = np.array(
-        [all(z[w] not in (7, 8, 9) for w in nbrs[v]) for v in range(n)]
-    )
-    sulfur_hydrophobic = (z == 16) & (
-        aromatic | (hyb == 3) | ((~has_h) & (heavydeg <= 2))
-    )
-    hydrophobic = ((z == 6) & no_nof) | sulfur_hydrophobic | np.isin(z, (17, 35, 53))
-
-    # acceptor: anything NOT in {H, C, F, Cl, Br, I, aromatic o/s,
-    # 3-connected aromatic n, pentavalent N/P, S(IV)/S(VI), cations}
-    # (reference SMARTS featurizer.py:127).  Valence is accounted from the
-    # mol2 bond orders (ar = 1.5) so e.g. nitro N (3 connections, valence 5)
-    # is excluded like OpenBabel's #7v5 would.
-    total_deg = np.array([len(nbrs[v]) for v in range(n)], dtype=np.int64)
-    valence = np.zeros(n, dtype=np.float64)
-    for a, b, order in mol.bonds:
-        v = _ORDER_VALENCE.get(order, 1.0)
-        valence[a] += v
-        valence[b] += v
-    valence = np.round(valence).astype(np.int64)
-    n_arom_x3 = (z == 7) & aromatic & (total_deg == 3)
-    nv5 = (z == 7) & ((total_deg >= 4) | (valence >= 5))
-    pv5 = (z == 15) & ((total_deg >= 4) | (valence >= 5))
-    sv46 = (z == 16) & ((total_deg >= 3) | (valence >= 4))
-    excluded = (
-        (z == 1) | (z == 6) | np.isin(z, (9, 17, 35, 53))
-        | ((z == 8) & aromatic) | ((z == 16) & aromatic)
-        | n_arom_x3 | nv5 | pv5 | sv46
-    )
-    acceptor = ~excluded
-
-    # donor: non-carbon heavy atom with >= 1 attached hydrogen.
-    donor = (z != 6) & (z > 1) & has_h
+    # The five flags: the literal reference SMARTS evaluated over the
+    # perception arrays (pattern semantics exact; perception documented).
+    flags_by_name = {
+        name: pat.match_all(pm) for name, pat in _COMPILED.items()
+    }
 
     feats = np.concatenate(
         [
@@ -217,7 +240,11 @@ def featurize_mol2(mol: Mol2, molcode: float | None = None):
         feats = np.concatenate(
             [feats, np.full((n, 1), float(molcode), np.float32)], axis=1
         )
-    flags = np.stack([hydrophobic, aromatic, acceptor, donor, in_ring], axis=1)
+    flags = np.stack(
+        [flags_by_name[k]
+         for k in ("hydrophobic", "aromatic", "acceptor", "donor", "ring")],
+        axis=1,
+    )
     feats = np.concatenate([feats, flags.astype(np.float32)], axis=1)
 
     if np.isnan(feats).any():
