@@ -73,7 +73,9 @@ class PAMNetConfig:
     # (both are indexed by the same neighbor-edge id; at dim=16,
     # (ns+1)*dim = 128 lanes = exactly one padded lane row).  Halves the
     # random-gather rows on the triplet axis for n_layer=1 scoring.
-    # None = auto (on when fold_sbf is active and (ns+1)*dim <= 128).
+    # None = auto: on when fold_sbf is active, (ns+1)*dim <= 128, AND the
+    # batch carries no ELL triplet tables (ELL training batches keep the
+    # split gathers for their scatter-free backward).
     fuse_sbf_gather: bool | None = None
     # Rebuild graph structure (edges + triplet tables) on device inside the
     # compiled forward from the current positions — the reference's

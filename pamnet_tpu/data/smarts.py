@@ -38,10 +38,13 @@ import numpy as np
 # aliphatic atoms only; the lowercase aromatic forms are generated for the
 # subset of elements SMARTS allows to be aromatic.
 _ELEMENTS = {
-    "He": 2, "Li": 3, "Be": 4, "B": 5, "C": 6, "N": 7, "O": 8, "F": 9,
+    "Li": 3, "Be": 4, "B": 5, "C": 6, "N": 7, "O": 8, "F": 9,
     "Ne": 10, "Na": 11, "Mg": 12, "Al": 13, "Si": 14, "P": 15, "S": 16,
     "Cl": 17, "K": 19, "Ca": 20, "Mn": 25, "Fe": 26, "Co": 27, "Ni": 28,
     "Cu": 29, "Zn": 30, "As": 33, "Se": 34, "Br": 35, "I": 53,
+    # No H-prefixed symbols (He/Hg/Ho): inside brackets 'H' always parses
+    # as an attached-hydrogen count (SMARTS semantics; hydrogen ATOMS are
+    # written [#1], as the reference's acceptor pattern does).
 }
 _AROMATIC_ELEMENTS = {"b": 5, "c": 6, "n": 7, "o": 8, "p": 15, "s": 16,
                       "se": 34, "as": 33}

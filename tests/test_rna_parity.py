@@ -119,6 +119,32 @@ def test_rna_scores_match_f64_oracle_all_21(rna_dataset):
     assert max(deltas.values()) < 5e-5, deltas
 
 
+def test_production_inference_path_matches_golden(rna_dataset):
+    """The DEFAULT driver scoring path — GraphLoader with precomputed f64
+    basis, no ELL tables, per-batch ladder pads, batch 16, fold_sbf +
+    fuse_sbf_gather auto-on — must match the golden oracle vector.  This is
+    the configuration inference_rna_puzzles.py actually runs, distinct from
+    the per-molecule build_graph_batch path above (which has no sbf_radial
+    and therefore never takes the folded/fused/laddered code)."""
+    from pamnet_tpu.data.loader import GraphLoader
+
+    params = load_torch_checkpoint(CKPT)
+    mols = rna_dataset.molecules()
+    loader = GraphLoader(mols, "rna", CFG.cutoff_l, CFG.cutoff_g,
+                         batch_size=16, build_tables=False, ladder_pads=True)
+    fwd = jax.jit(apply_pamnet, static_argnums=2)
+    scores = []
+    for gb in loader:
+        out = fwd(params, jax.tree.map(jnp.asarray, gb), CFG)
+        scores.extend(np.asarray(out)[: int(gb.graph_mask.sum())].tolist())
+    assert len(scores) == 21
+    deltas = {
+        _name(rna_dataset.names[i]): abs(s - GOLDEN[_name(rna_dataset.names[i])])
+        for i, s in enumerate(scores)
+    }
+    assert max(deltas.values()) < 5e-5, deltas
+
+
 def test_shipped_csv_matches_golden():
     """The committed inference CSV (produced by inference_rna_puzzles.py)
     carries the same 21 scores, the CSV contract columns, and the
