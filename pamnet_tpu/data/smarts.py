@@ -104,6 +104,43 @@ class _Prim:
             return _match_chain(v, mol, i)
         raise AssertionError(k)
 
+    def match_vec(self, mol: PerceivedMol, active: np.ndarray) -> np.ndarray:
+        """Vectorized match over all atoms; results only need to be valid
+        where ``active`` (per-atom recursive walks are restricted to it)."""
+        k, v = self.kind, self.value
+        n = len(mol.z)
+        if k == "any":
+            return np.ones(n, dtype=bool)
+        if k == "num":
+            return mol.z == v
+        if k == "elem":
+            sym_z, arom = v
+            return (mol.z == sym_z) & (mol.aromatic == arom)
+        if k == "arom":
+            return mol.aromatic == v
+        if k == "hcount":
+            return mol.num_h == v
+        if k == "conn":
+            return mol.connectivity == v
+        if k == "valence":
+            return mol.valence == v
+        if k == "charge":
+            return mol.formal_charge == v
+        if k == "hyb":
+            return mol.hyb == v
+        if k == "ring":
+            return mol.in_ring.copy()
+        if k == "rec":
+            atoms, bonds = v
+            if len(atoms) == 1:
+                # Single-atom environment: pure expression on the candidate.
+                return atoms[0].match_vec(mol, active)
+            out = np.zeros(n, dtype=bool)
+            for i in np.flatnonzero(active):
+                out[i] = _match_chain(v, mol, int(i))
+            return out
+        raise AssertionError(k)
+
 
 class _Not:
     __slots__ = ("x",)
@@ -113,6 +150,9 @@ class _Not:
 
     def match(self, mol, i):
         return not self.x.match(mol, i)
+
+    def match_vec(self, mol, active):
+        return ~self.x.match_vec(mol, active)
 
 
 class _And:
@@ -124,6 +164,12 @@ class _And:
     def match(self, mol, i):
         return all(x.match(mol, i) for x in self.xs)
 
+    def match_vec(self, mol, active):
+        acc = active.copy()
+        for x in self.xs:
+            acc &= x.match_vec(mol, acc)
+        return acc
+
 
 class _Or:
     __slots__ = ("xs",)
@@ -133,6 +179,14 @@ class _Or:
 
     def match(self, mol, i):
         return any(x.match(mol, i) for x in self.xs)
+
+    def match_vec(self, mol, active):
+        res = np.zeros(len(mol.z), dtype=bool)
+        remaining = active.copy()
+        for x in self.xs:
+            res |= x.match_vec(mol, remaining) & remaining
+            remaining &= ~res
+        return res
 
 
 def _bond_matches(kind: str, order: str) -> bool:
@@ -376,9 +430,13 @@ class SmartsPattern:
         return self.expr.match(mol, i)
 
     def match_all(self, mol: PerceivedMol) -> np.ndarray:
-        return np.array(
-            [self.expr.match(mol, i) for i in range(len(mol.z))], dtype=bool
-        )
+        """Vectorized evaluation over all atoms: primitives and single-atom
+        recursive environments run as numpy array ops; only multi-atom
+        recursive chains fall back to per-atom walks, restricted to atoms
+        still live after the preceding (left-to-right) conjuncts."""
+        return self.expr.match_vec(
+            mol, np.ones(len(mol.z), dtype=bool)
+        ).astype(bool)
 
 
 def compile_smarts(smarts: str) -> SmartsPattern:

@@ -148,6 +148,40 @@ def test_reference_patterns_semantics():
     assert don.match_all(m).tolist() == [True, True, False, False, True]
 
 
+def test_vectorized_matches_scalar_on_random_graphs():
+    """match_all (vectorized with masked short-circuiting) must agree with
+    per-atom match_atom for all five reference patterns on random
+    perceptions — including multi-atom recursive walks."""
+    from pamnet_tpu.data.featurizer import REFERENCE_SMARTS
+
+    rng = np.random.default_rng(7)
+    n = 300
+    atoms = [
+        dict(
+            z=int(rng.choice([1, 6, 7, 8, 9, 15, 16, 17, 30])),
+            arom=bool(rng.random() < 0.3),
+            fc=int(rng.choice([-1, 0, 0, 0, 1])),
+            h=int(rng.integers(0, 4)),
+            x=int(rng.integers(0, 5)),
+            v=int(rng.integers(0, 7)),
+            hyb=int(rng.integers(0, 4)),
+            ring=bool(rng.random() < 0.4),
+        )
+        for _ in range(n)
+    ]
+    bonds = [
+        (int(rng.integers(0, n)), int(rng.integers(0, n)),
+         str(rng.choice(["1", "2", "ar", "am"])))
+        for _ in range(2 * n)
+    ]
+    m = _mol(atoms, bonds)
+    for name, smarts in REFERENCE_SMARTS.items():
+        pat = compile_smarts(smarts)
+        vec = pat.match_all(m)
+        sca = np.array([pat.match_atom(m, i) for i in range(n)])
+        assert (vec == sca).all(), name
+
+
 def test_unsupported_constructs_raise():
     for bad in ("[r5]", "[$([C](N)O)]", "C", "[@]"):
         with pytest.raises(ValueError):
