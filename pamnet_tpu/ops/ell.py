@@ -78,6 +78,66 @@ def _gather_bwd(res, g):
 gather_ell.defvjp(_gather_fwd, _gather_bwd)
 
 
+def _compensated_cumsum(v):
+    """f32 prefix sums with a TwoSum compensation stream: returns ``(s, e)``,
+    each (R+1, D) with a leading zero row, such that ``s + e`` equals the
+    true prefix to ~double working precision.  The defect of each stored
+    prefix step, ``d[i] = s[i-1] + v[i] - s[i]``, is eps-scale and EXACTLY
+    computable in f32 via a TwoSum (the final subtraction is Sterbenz-exact
+    because both operands approximate the same prefix), and the true
+    compensation satisfies ``e[i] - e[i-1] = d[i]``, so ``e = cumsum(d)`` —
+    a second native cumsum whose own rounding only perturbs an eps-scale
+    quantity."""
+    z = jnp.zeros_like(v[:1])
+    s = jnp.concatenate([z, jnp.cumsum(v, axis=0)], axis=0)
+    s_prev = s[:-1]
+    t = s_prev + v
+    bp = t - s_prev
+    g = (s_prev - (t - bp)) + (v - bp)
+    d = (t - s[1:]) + g
+    e = jnp.concatenate([z, jnp.cumsum(d, axis=0)], axis=0)
+    return s, e
+
+
+# Sub-f64 sorted-scan implementation: "blocked" (default) = block-local
+# prefixes + a compensated block-level prefix (one short scan over R rows +
+# a tiny one over R/B block sums); "twosum" = global compensated scan
+# (two full-length cumsums + a full-length TwoSum chain).  Equal accuracy
+# (both hold the batch-16 RNA production path at scatter-parity vs the f64
+# oracle); blocked measured faster on v5e (DEVNOTES round-3).
+SORTED_SCAN_IMPL = "blocked"
+# Block length: 128/256/512 measured equal on v5e (458/455/457 g/s RNA
+# scoring; 1024+ degrade) — 128 wins on the error bound (∝ B) and divides
+# every pad (align=128), so the zero-pad concat never materializes.
+_SCAN_BLOCK = 128
+
+
+def _blocked_group_sums(v, offsets):
+    """Group sums over ``[offsets[k], offsets[k+1])`` via two-level prefix
+    sums: local cumsum inside fixed B-row blocks plus a compensated prefix
+    over the per-block sums.  Intra-block prefix differences cancel at
+    block-local magnitudes (no global-prefix rounding at all), and the
+    block-level prefix carries a TwoSum compensation, so accuracy matches
+    the global compensated scan at a fraction of its cost."""
+    R, D = v.shape
+    B = _SCAN_BLOCK
+    nb = -(-R // B)
+    if nb * B != R:
+        v = jnp.concatenate([v, jnp.zeros((nb * B - R, D), v.dtype)], axis=0)
+    p = jnp.cumsum(v.reshape(nb, B, D), axis=1)  # block-local prefixes
+    s_blk, e_blk = _compensated_cumsum(p[:, -1])  # (nb+1, D) block prefix
+    p_flat = p.reshape(nb * B, D)
+    b = offsets // B
+    local = jnp.where(
+        (offsets % B > 0)[:, None],
+        p_flat[jnp.maximum(offsets - 1, 0)],
+        jnp.zeros((), v.dtype),
+    )
+    hi = s_blk[b[1:]] - s_blk[b[:-1]]
+    lo = (e_blk[b[1:]] - e_blk[b[:-1]]) + (local[1:] - local[:-1])
+    return hi + lo
+
+
 @jax.custom_vjp
 def segment_sum_sorted(values, seg_ids, row_mask, offsets):
     """Segment sum for rows pre-sorted by group: prefix-scan + offset
@@ -91,21 +151,24 @@ def segment_sum_sorted(values, seg_ids, row_mask, offsets):
     Precision note: group sums are differences of prefix sums, and a plain
     f32 global prefix loses ~log2(R/K) mantissa bits to cancellation
     (measured 8.9e-4 absolute on batch-16 RNA scores vs 7.5e-6 for
-    scatter-adds).  For sub-f64 streams the scan therefore carries a
-    COMPENSATION vector ``e`` alongside the f32 prefix ``s`` — an
-    (s, e) pair of effectively doubled precision — computed with native
-    ops only (no lax.associative_scan, whose TPU lowering measured 190x
-    slower even at a few hundred rows): the defect of each prefix step,
-    ``d[i] = s[i-1] + v[i] - s[i]``, is eps-scale and EXACTLY computable
-    in f32 via a TwoSum (the final subtraction is Sterbenz-exact because
-    both operands approximate the same prefix), and the true compensation
-    satisfies ``e[i] - e[i-1] = d[i]``, so ``e = cumsum(d)`` — a second
-    native cumsum whose own rounding only perturbs an eps-scale quantity.
-    Group sums re-add the compensation: measured 7.6e-6 on the batch-16
-    RNA scores (scatter-parity) at ~2 cumsums of cost.
-    Low-precision streams (bf16/f16) are additionally upcast to f32 first
-    (a bf16 prefix over 1e5+ rows collapsed RNA scores to ~half).
-    f64 (jax x64 oracle paths) keeps a plain f64 cumsum.
+    scatter-adds).  Sub-f64 streams therefore run a compensated scheme
+    (``SORTED_SCAN_IMPL``, both at scatter-parity accuracy, measured
+    7.5-7.6e-6 on the batch-16 RNA scores):
+
+    * ``"blocked"`` (default): block-local prefix sums + a TwoSum-
+      compensated prefix over the per-block sums (:func:`_blocked_group_sums`)
+      — one short-scan pass over the rows instead of two full-length
+      cumsums plus a full-length TwoSum chain.
+    * ``"twosum"``: the global compensated scan — an (s, e) prefix/
+      compensation pair over all rows (:func:`_compensated_cumsum`); kept
+      as the reference implementation and A/B target (tools/tpu_ab.py
+      scanimpl).
+
+    Neither uses ``lax.associative_scan`` (its TPU lowering measured 190x
+    slower even at a few hundred rows).  Low-precision streams (bf16/f16)
+    are additionally upcast to f32 first (a bf16 prefix over 1e5+ rows
+    collapsed RNA scores to ~half).  f64 (jax x64 oracle paths) keeps a
+    plain f64 cumsum.
     """
     if jnp.dtype(values.dtype).itemsize >= 8:
         s = jnp.cumsum(values, axis=0)
@@ -113,17 +176,9 @@ def segment_sum_sorted(values, seg_ids, row_mask, offsets):
         return s[offsets[1:]] - s[offsets[:-1]]
 
     v = values.astype(jnp.float32)
-    z = jnp.zeros_like(v[:1])
-    s = jnp.concatenate([z, jnp.cumsum(v, axis=0)], axis=0)  # (R+1, D)
-    # TwoSum of (s[i-1], v[i]): t + g == s[i-1] + v[i] exactly.
-    s_prev = s[:-1]
-    t = s_prev + v
-    bp = t - s_prev
-    g = (s_prev - (t - bp)) + (v - bp)
-    # Defect of the stored prefix; (t - s[i]) is exact (same-magnitude
-    # operands), so d is the step error to working precision.
-    d = (t - s[1:]) + g
-    e = jnp.concatenate([z, jnp.cumsum(d, axis=0)], axis=0)
+    if SORTED_SCAN_IMPL == "blocked":
+        return _blocked_group_sums(v, offsets).astype(values.dtype)
+    s, e = _compensated_cumsum(v)
     out = (s[offsets[1:]] - s[offsets[:-1]]) + (e[offsets[1:]] - e[offsets[:-1]])
     return out.astype(values.dtype)
 

@@ -108,6 +108,60 @@ def test_segment_sum_sorted_keeps_f64_accumulation(rng):
         np.testing.assert_allclose(np.asarray(out), [[1e-3]], rtol=1e-3)
 
 
+def test_sorted_scan_impls_compensate_prefix_cancellation(rng):
+    """Both sub-f64 scan schemes (blocked two-level and global TwoSum) must
+    hold group sums at scatter-add accuracy on an adversarial stream where a
+    plain f32 prefix difference loses ~log2(R/K) mantissa bits: many rows,
+    large same-sign values, tiny per-group sums late in the stream.  Sizes
+    straddle block boundaries (R % _SCAN_BLOCK != 0)."""
+    from pamnet_tpu.ops import ell
+
+    R, D, G = 16310, 4, 37  # R >> _SCAN_BLOCK=512 and not a multiple
+    vals = (rng.standard_normal((R, D)) * 100.0 + 300.0).astype(np.float32)
+    ids = np.sort(rng.integers(0, G, size=R)).astype(np.int32)
+    offsets = jnp.asarray(ell.build_offsets_np(ids, R, G))
+    want = np.zeros((G, D), np.float64)
+    np.add.at(want, ids, vals.astype(np.float64))
+
+    outs = {}
+    orig = ell.SORTED_SCAN_IMPL
+    try:
+        for impl in ("blocked", "twosum"):
+            ell.SORTED_SCAN_IMPL = impl
+            outs[impl] = np.asarray(
+                jax.jit(ell.segment_sum_sorted)(
+                    jnp.asarray(vals), jnp.asarray(ids),
+                    jnp.ones(R, jnp.float32), offsets
+                )
+            ).astype(np.float64)
+    finally:
+        ell.SORTED_SCAN_IMPL = orig
+
+    # Error models: the global TwoSum scan is scatter-parity (compensation
+    # holds the pair to ~doubled precision); the blocked scheme's intra-block
+    # prefix differences cancel at BLOCK-local magnitudes, so its bound is
+    # eps * _SCAN_BLOCK * max|v| — a factor R/_SCAN_BLOCK better than the
+    # plain f32 global scan, whose error this test also pins down.
+    scatter = np.zeros((G, D), np.float32)
+    np.add.at(scatter, ids, vals)
+    scatter_err = np.abs(scatter.astype(np.float64) - want).max()
+    plain = np.concatenate(
+        [np.zeros((1, D), np.float32), np.cumsum(vals, axis=0, dtype=np.float32)]
+    ).astype(np.float64)
+    off = np.asarray(offsets)
+    plain_err = np.abs((plain[off[1:]] - plain[off[:-1]]) - want).max()
+    eps = np.finfo(np.float32).eps
+    blocked_bound = 4.0 * eps * ell._SCAN_BLOCK * np.abs(vals).max()
+
+    err_two = np.abs(outs["twosum"] - want).max()
+    assert err_two <= max(scatter_err * 4.0, 1e-2), f"twosum: {err_two}"
+    err_blk = np.abs(outs["blocked"] - want).max()
+    assert err_blk <= blocked_bound, f"blocked: {err_blk} > {blocked_bound}"
+    assert plain_err > 10 * err_blk, (
+        f"stream not adversarial enough: plain {plain_err} vs blocked {err_blk}"
+    )
+
+
 def test_unsorted_offsets_raise(rng):
     from pamnet_tpu.ops.ell import build_offsets_np
 

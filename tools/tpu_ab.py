@@ -20,6 +20,10 @@ Experiments (select with argv[1:], default: dtype):
   batch   QM9 recipe (bf16) at batch 32/64/128 — per-chip batching headroom.
   devgraph QM9 recipe: host-precomputed structure vs on-device per-forward
           rebuild (--device_graph), the reference's construction semantics.
+  scan    RNA scoring (fold+fuse+ladder): compensated prefix-scan segment
+          sums vs plain XLA scatter-adds (both exact; pure speed question).
+  scanimpl RNA scoring: blocked two-level scan vs global TwoSum scan
+          (ops/ell.py SORTED_SCAN_IMPL; both compensated, pure speed).
 
 Each experiment prints one `AB <name> variant=... mol_s=...` line per variant.
 """
@@ -504,6 +508,125 @@ def exp_devgraph():
           f"host-precomputed (production default)")
 
 
+def exp_scan():
+    """Compensated prefix-scan (sorted offsets, the current inference
+    default) vs plain XLA scatter-add segment sums on the CURRENT RNA
+    production path (fold+fuse+ladder, f32).  Both are exact to ~1e-5 of the
+    f64 oracle (scatter-adds measured 7.5e-6; the compensated scan 7.6e-6),
+    so this is purely a speed question: the TwoSum compensation cost the
+    scan path -28%, and the early-round "sorted beats scatter" matrix
+    (77 vs 118 g/s) predates fold/fuse/ladder, which shrank everything
+    around the segment sums."""
+    import os
+
+    from pamnet_tpu.data.tu import TUDataset
+    from pamnet_tpu.models import apply_pamnet
+    from pamnet_tpu.train.checkpoint import load_torch_checkpoint
+    from pamnet_tpu.utils.runtime import resolve_path
+
+    ref = os.environ.get("PAMNET_REFERENCE_ROOT", "/root/reference")
+    data_root = resolve_path("./data/RNA-Puzzles", f"{ref}/data/RNA-Puzzles")
+    ckpt = resolve_path("./save/pamnet_rna.pt", f"{ref}/save/pamnet_rna.pt")
+    cfg = PAMNetConfig(dataset="rna_native", dim=16, n_layer=1, cutoff_l=2.6,
+                       cutoff_g=20.0, flow="target_to_source")
+    params = load_torch_checkpoint(ckpt)
+    mols = TUDataset(data_root, "rna_native").molecules()
+    loader = GraphLoader(mols, "rna", cfg.cutoff_l, cfg.cutoff_g,
+                         batch_size=16, build_tables=False, ladder_pads=True)
+    base = [jax.tree.map(jnp.asarray, gb) for gb in loader]
+
+    def run(variant, batches):
+        fwd = jax.jit(lambda p, g, acc: acc + apply_pamnet(p, g, cfg).sum())
+        acc = jnp.float32(0.0)
+        t0 = time.time()
+        for gb in batches:
+            acc = fwd(params, gb, acc)
+        ref_sum = float(acc)
+        print(f"  [{variant}] compile+first: {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        best = None
+        for _ in range(3):
+            acc = jnp.float32(0.0)
+            t0 = time.time()
+            for _ in range(10):
+                for gb in batches:
+                    acc = fwd(params, gb, acc)
+            _ = float(acc)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        gps = 10 * len(mols) / best
+        print(f"AB scan variant={variant} graphs_s={gps:.1f} "
+              f"score_sum={ref_sum:.4f}")
+        return gps
+
+    stripped = [gb._replace(tables={}) for gb in base]
+    a = run("comp_scan", base)
+    b = run("scatter", stripped)
+    a2 = run("comp_scan_again", base)
+    print(f"AB scan scatter_vs_scan={b/max(a,a2):.3f}x")
+
+
+def exp_scanimpl():
+    """Sub-f64 sorted-scan implementations on the RNA production path
+    (fold+fuse+ladder, f32): blocked two-level (block-local prefixes + a
+    compensated block prefix; ONE short-scan pass over the rows) vs the
+    global TwoSum scan (two full-length cumsums + a full-length elementwise
+    TwoSum chain).  Accuracy of both is locked by tests/test_ell.py and the
+    production parity suite; this measures pure speed."""
+    import os
+
+    from pamnet_tpu.data.tu import TUDataset
+    from pamnet_tpu.models import apply_pamnet
+    from pamnet_tpu.ops import ell
+    from pamnet_tpu.train.checkpoint import load_torch_checkpoint
+    from pamnet_tpu.utils.runtime import resolve_path
+
+    ref = os.environ.get("PAMNET_REFERENCE_ROOT", "/root/reference")
+    data_root = resolve_path("./data/RNA-Puzzles", f"{ref}/data/RNA-Puzzles")
+    ckpt = resolve_path("./save/pamnet_rna.pt", f"{ref}/save/pamnet_rna.pt")
+    cfg = PAMNetConfig(dataset="rna_native", dim=16, n_layer=1, cutoff_l=2.6,
+                       cutoff_g=20.0, flow="target_to_source")
+    params = load_torch_checkpoint(ckpt)
+    mols = TUDataset(data_root, "rna_native").molecules()
+    loader = GraphLoader(mols, "rna", cfg.cutoff_l, cfg.cutoff_g,
+                         batch_size=16, build_tables=False, ladder_pads=True)
+    batches = [jax.tree.map(jnp.asarray, gb) for gb in loader]
+
+    def run(variant, impl):
+        ell.SORTED_SCAN_IMPL = impl
+        fwd = jax.jit(lambda p, g, acc: acc + apply_pamnet(p, g, cfg).sum())
+        acc = jnp.float32(0.0)
+        t0 = time.time()
+        for gb in batches:
+            acc = fwd(params, gb, acc)
+        ref_sum = float(acc)
+        print(f"  [{variant}] compile+first: {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        best = None
+        for _ in range(3):
+            acc = jnp.float32(0.0)
+            t0 = time.time()
+            for _ in range(10):
+                for gb in batches:
+                    acc = fwd(params, gb, acc)
+            _ = float(acc)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        gps = 10 * len(mols) / best
+        print(f"AB scanimpl variant={variant} graphs_s={gps:.1f} "
+              f"score_sum={ref_sum:.4f}")
+        return gps
+
+    orig = ell.SORTED_SCAN_IMPL
+    try:
+        a = run("twosum", "twosum")
+        b = run("blocked", "blocked")
+        a2 = run("twosum_again", "twosum")
+    finally:
+        ell.SORTED_SCAN_IMPL = orig
+    print(f"AB scanimpl blocked_vs_twosum={b/max(a,a2):.3f}x")
+
+
 def main():
     enable_compilation_cache()
     print(f"devices: {jax.devices()}", file=sys.stderr)
@@ -513,7 +636,8 @@ def main():
          "pallas": exp_pallas, "rna": exp_rna,
          "fold": exp_fold, "fuse": exp_fuse, "ladder": exp_ladder,
          "variant": exp_variant, "batch": exp_batch,
-         "devgraph": exp_devgraph}[w]()
+         "devgraph": exp_devgraph, "scan": exp_scan,
+         "scanimpl": exp_scanimpl}[w]()
 
 
 if __name__ == "__main__":
