@@ -79,15 +79,27 @@ def _t(tables, name):
     return tables[name], tables[name + "_mask"]
 
 
+# Forward segment-sum preference when a batch carries BOTH an ELL table and
+# sorted-group offsets for the same key: "ell" = gather + dense K-sum (reads
+# G*K random rows, K rounded up to 8); "sorted" = blocked prefix scan over
+# the R group-sorted rows (streams them once).  Backwards are identical
+# either way (masked gather), and gathers keep their scatter-free ELL
+# backward regardless — this flag ONLY reorders the forward reduction.
+# Same-process A/B at the QM9 bf16 recipe measured ELL faster
+# (tools/tpu_ab.py aggfwd; DEVNOTES round-3), so it stays the default.
+AGG_FORWARD = "ell"
+
+
 def _agg(values, ids, row_mask, num_groups, tables, key):
     """Masked segment sum, preferring (1) scatter-free ELL tables (built for
     training; fastest at QM9 scale), then (2) prefix-scan over group-sorted
     rows (offsets are always built; best for inference on huge edge sets
     where ELL gathers blow up), then (3) XLA scatter-add."""
     if tables:
-        if key in tables:
+        have_off = key + "_off" in tables
+        if key in tables and not (AGG_FORWARD == "sorted" and have_off):
             return segment_sum_ell(values, ids, row_mask, *_t(tables, key))
-        if key + "_off" in tables:
+        if have_off:
             return segment_sum_sorted(values, ids, row_mask, tables[key + "_off"])
     return segment_sum(values * row_mask[:, None], ids, num_groups)
 

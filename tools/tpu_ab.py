@@ -24,6 +24,8 @@ Experiments (select with argv[1:], default: dtype):
           sums vs plain XLA scatter-adds (both exact; pure speed question).
   scanimpl RNA scoring: blocked two-level scan vs global TwoSum scan
           (ops/ell.py SORTED_SCAN_IMPL; both compensated, pure speed).
+  aggfwd  QM9 recipe (bf16): forward segment sums via ELL K-sum vs blocked
+          sorted scan, with ELL gather backwards kept in both variants.
 
 Each experiment prints one `AB <name> variant=... mol_s=...` line per variant.
 """
@@ -566,6 +568,43 @@ def exp_scan():
     print(f"AB scan scatter_vs_scan={b/max(a,a2):.3f}x")
 
 
+def exp_aggfwd():
+    """Forward segment-sum routing at the QM9 bf16 recipe when batches carry
+    BOTH ELL tables and sorted offsets (models/layers.py AGG_FORWARD):
+    ELL gather + dense K-sum (G*K random rows, K rounded to 8) vs the
+    blocked prefix scan (streams the R sorted rows once).  Gathers keep
+    their scatter-free ELL backward in BOTH variants — round 1's
+    "sorted 6,957 < ell 9,937" comparison dropped the tables entirely,
+    losing the gather backwards to scatter-adds; this isolates the forward
+    reduction."""
+    from pamnet_tpu.models import layers
+
+    cfg = PAMNetConfig(dataset="QM9", dim=128, n_layer=6, cutoff_l=5.0,
+                       cutoff_g=5.0, compute_dtype="bfloat16")
+    bs = 32
+    mols = synthetic_qm9_dataset(16 * bs, seed=480)
+    loader = GraphLoader(mols, "qm9", cfg.cutoff_l, cfg.cutoff_g,
+                         batch_size=bs, shuffle=False, drop_last=True)
+    batches = _stage(loader)
+    tiled, n_steps = _tile(batches, 512)
+    params = init_pamnet(jax.random.PRNGKey(480), cfg)
+    optimizer = make_optimizer(warmup_exponential(1e-4, steps_per_epoch=64),
+                               clip_norm=1000.0)
+    state = init_train_state(params, optimizer, use_ema=True)
+
+    orig = layers.AGG_FORWARD
+    try:
+        layers.AGG_FORWARD = "ell"
+        a = _run_scan("aggfwd", "ell", cfg, state, tiled, n_steps, bs)
+        layers.AGG_FORWARD = "sorted"
+        b = _run_scan("aggfwd", "sorted", cfg, state, tiled, n_steps, bs)
+        layers.AGG_FORWARD = "ell"
+        a2 = _run_scan("aggfwd", "ell_again", cfg, state, tiled, n_steps, bs)
+    finally:
+        layers.AGG_FORWARD = orig
+    print(f"AB aggfwd sorted_vs_ell={b/max(a,a2):.3f}x")
+
+
 def exp_scanimpl():
     """Sub-f64 sorted-scan implementations on the RNA production path
     (fold+fuse+ladder, f32): blocked two-level (block-local prefixes + a
@@ -637,7 +676,7 @@ def main():
          "fold": exp_fold, "fuse": exp_fuse, "ladder": exp_ladder,
          "variant": exp_variant, "batch": exp_batch,
          "devgraph": exp_devgraph, "scan": exp_scan,
-         "scanimpl": exp_scanimpl}[w]()
+         "scanimpl": exp_scanimpl, "aggfwd": exp_aggfwd}[w]()
 
 
 if __name__ == "__main__":
