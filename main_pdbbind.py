@@ -21,21 +21,19 @@ REFERENCE_ROOT = os.environ.get("PAMNET_REFERENCE_ROOT", "/root/reference")
 
 
 class StackedEval:
-    """Pre-staged one-dispatch evaluation returning the PDBbind metric quad
-    RMSE/MAE/SD/Pearson (reference: main_pdbbind.py:25-39)."""
+    """PDBbind metric wrapper over the shared pre-staged evaluator
+    (train/loop.py::StackedEval): the RMSE/MAE/SD/Pearson quad (reference:
+    main_pdbbind.py:25-39).  Lazy import keeps jax out of module import
+    time (--platform handling)."""
 
     def __init__(self, eval_run, loader, to_device):
-        from pamnet_tpu.train.loop import stack_microbatches_host
+        from pamnet_tpu.train.loop import StackedEval as _SE
 
-        batches = list(loader)  # host batches; stack on host, transfer once
-        self.stacked = to_device(stack_microbatches_host(batches))
-        self.mask = np.concatenate([np.asarray(b.graph_mask) for b in batches]) > 0
-        self.y = np.concatenate([np.asarray(b.y) for b in batches])
-        self.run = eval_run
+        self._ev = _SE(eval_run, loader, to_device)
 
     def __call__(self, params):
-        preds = np.asarray(self.run(params, self.stacked)).reshape(-1)[self.mask]
-        y = self.y[self.mask]
+        preds = self._ev.predict(params)
+        y = self._ev.y
         return rmse(y, preds), mae(y, preds), sd(y, preds), pearson(y, preds)
 
 

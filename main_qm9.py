@@ -24,40 +24,18 @@ from pamnet_tpu.utils.runtime import enable_compilation_cache, set_seed
 
 
 class StackedEval:
-    """Pre-staged one-dispatch evaluation over a whole split (batches are
-    static; stacking them once removes per-batch dispatch latency)."""
+    """QM9 metric wrapper over the shared pre-staged evaluator
+    (train/loop.py::StackedEval): MAE (reference main_qm9.py:29-37).
+    Lazy import keeps jax out of module import time (--platform handling)."""
 
     def __init__(self, eval_run, loader, to_device):
-        from pamnet_tpu.train.loop import stack_microbatches_host
+        from pamnet_tpu.train.loop import StackedEval as _SE
 
-        t0 = time.time()
-        batches = list(loader)  # host batches; stack on host, transfer once
-        t1 = time.time()
-        stacked = stack_microbatches_host(batches)
-        t2 = time.time()
-        self.stacked = to_device(stacked)
-        # Force the transfer now so staging cost is attributable (and not
-        # folded into the first eval dispatch).
-        import jax
-
-        jax.block_until_ready(self.stacked)
-        t3 = time.time()
-        nbytes = sum(
-            x.nbytes for x in jax.tree_util.tree_leaves(stacked)
-        )
-        print(
-            f"StackedEval: {len(batches)} batches, {nbytes / 1e6:.0f} MB "
-            f"(collate {t1 - t0:.1f}s, stack {t2 - t1:.1f}s, "
-            f"transfer {t3 - t2:.1f}s)",
-            file=sys.stderr,
-        )
-        self.mask = np.concatenate([np.asarray(b.graph_mask) for b in batches]) > 0
-        self.y = np.concatenate([np.asarray(b.y) for b in batches])
-        self.run = eval_run
+        self._ev = _SE(eval_run, loader, to_device)
 
     def mae(self, params) -> float:
-        preds = np.asarray(self.run(params, self.stacked)).reshape(-1)
-        return float(np.abs(preds[self.mask] - self.y[self.mask]).mean())
+        ev = self._ev
+        return float(np.abs(ev.predict(params) - ev.y).mean())
 
 
 def main():

@@ -25,21 +25,19 @@ def smooth_l1(pred, y):
 
 
 class StackedEval:
-    """Pre-staged one-dispatch evaluation (batches are static; a single
-    lax.scan dispatch replaces per-batch host round-trips)."""
+    """RNA metric wrapper over the shared pre-staged evaluator
+    (train/loop.py::StackedEval): SmoothL1 + predictions (reference:
+    main_rna_puzzles.py:23-42).  Lazy import keeps jax out of module
+    import time (--platform handling)."""
 
     def __init__(self, eval_run, loader, to_device):
-        from pamnet_tpu.train.loop import stack_microbatches_host
+        from pamnet_tpu.train.loop import StackedEval as _SE
 
-        batches = list(loader)  # host batches; stack on host, transfer once
-        self.stacked = to_device(stack_microbatches_host(batches))
-        self.mask = np.concatenate([np.asarray(b.graph_mask) for b in batches]) > 0
-        self.y = np.concatenate([np.asarray(b.y) for b in batches])
-        self.run = eval_run
+        self._ev = _SE(eval_run, loader, to_device)
 
     def __call__(self, params):
-        preds = np.asarray(self.run(params, self.stacked)).reshape(-1)
-        return smooth_l1(preds[self.mask], self.y[self.mask]), preds[self.mask]
+        preds = self._ev.predict(params)
+        return smooth_l1(preds, self._ev.y), preds
 
 
 def main():

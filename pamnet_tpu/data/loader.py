@@ -229,22 +229,19 @@ class GraphLoader:
                     build_tables=self.build_tables,
                 )
 
-    def prefetch(self, depth: int = 2, transform=None):
+    def prefetch(self, depth: int = 2):
         """Iterate with a background collation thread (overlaps host batch
         assembly with device compute).  Worker exceptions re-raise in the
         consumer — a silently truncated epoch would corrupt training.
-
-        ``transform`` (e.g. a host->device staging fn) runs INSIDE the
-        worker thread, so device transfers overlap compute too — on
-        transfer-bound links (this pool's ~40 MB/s tunnel; DEVNOTES.md) the
-        dispatch thread otherwise serializes wire time with execution."""
+        (Host->device staging overlap is layered on top by the trainers:
+        ``train/loop.py::_staged`` stacks/transfers in its own thread.)"""
         q: queue.Queue = queue.Queue(maxsize=depth)
         stop = object()
 
         def worker():
             try:
                 for gb in self:
-                    q.put(gb if transform is None else transform(gb))
+                    q.put(gb)
                 q.put(stop)
             except BaseException as e:  # noqa: BLE001 - relayed to consumer
                 q.put(e)

@@ -94,6 +94,24 @@ def _angle(pos, a, b, c, mask):
     return jnp.arctan2(nrm, dot)
 
 
+def _fold_gate(cfg: PAMNetConfig, tables) -> bool:
+    """Should the sbf MLP fold through the triplet gather (fold_sbf)?
+
+    Auto (cfg.fold_sbf=None): only when the projected row fits one 128-lane
+    row AND the batch carries no ELL triplet tables.  The projected table
+    carries mlp_sbf WEIGHT gradients, so its plain triplet gather would add
+    a T-axis scatter-add per layer to the backward — the exact op the ELL
+    machinery removes; training batches (which build ELL tables) therefore
+    stay on the unfolded path, whose gather is gradient-free (grads reach
+    mlp_sbf via the dense per-triplet matmul instead).  cfg.fold_sbf=True
+    still forces folding."""
+    if cfg.fold_sbf is not None:
+        return cfg.fold_sbf
+    return cfg.num_spherical * cfg.dim <= 128 and not (
+        tables and "t1_jj" in tables
+    )
+
+
 def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
     """Forward pass -> (G,) per-graph predictions (padded graphs give 0)."""
     kind = cfg.dataset_kind
@@ -153,13 +171,12 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
     # multiply-adds.  Exact reassociation of silu((sbf ⊙ rep(cbf)) @ W + b);
     # removes the (T, 42) materialization + (T,42)@(42,dim) matmul streams —
     # ~2 full padded T-row passes on the 1.8M-triplet RNA batch.
+    tables = g.tables if (cfg.scatter_free and g.tables is not None) else None
     fold_sbf = (
         g.sbf_radial is not None
-        and (cfg.fold_sbf if cfg.fold_sbf is not None
-             else ns * cfg.dim <= 128)
+        and _fold_gate(cfg, tables)
         and len(params.get("mlp_sbf1", params.get("mlp_sbf", []))) == 1
     )
-    tables = g.tables if (cfg.scatter_free and g.tables is not None) else None
     if fold_sbf:
         sbf_table_f = g.sbf_radial.astype(cdt)
 

@@ -345,6 +345,60 @@ def stack_microbatches_host(batches: list[GraphBatch]) -> GraphBatch:
                         *batches)
 
 
+class StackedEval:
+    """Pre-staged one-dispatch evaluation over a whole split: batches are
+    static, so they are collated once, stacked ON HOST (one numpy array per
+    leaf), and transferred in one copy per leaf — per-batch dispatch latency
+    and per-leaf transfer round-trips both vanish (DEVNOTES.md: every
+    un-batched fetch pays a tunnel RTT on this pool).
+
+    Shared by the three training drivers, which wrap :meth:`predict` with
+    their dataset metric (QM9 MAE, PDBbind RMSE/MAE/SD/Pearson quad, RNA
+    SmoothL1 — reference main_qm9.py:29-37, main_pdbbind.py:25-39,
+    main_rna_puzzles.py:23-42)."""
+
+    def __init__(self, eval_run, loader, to_device, verbose: bool = True):
+        import sys
+        import time
+
+        import numpy as np
+
+        t0 = time.time()
+        batches = list(loader)  # host batches; stack on host, transfer once
+        t1 = time.time()
+        stacked = stack_microbatches_host(batches)
+        t2 = time.time()
+        self.stacked = to_device(stacked)
+        # Force the transfer now so staging cost is attributable (and not
+        # folded into the first eval dispatch).  NOTE: on this pool
+        # block_until_ready can return at enqueue time (DEVNOTES.md), so
+        # the printed transfer split is a lower bound; epoch walls ending
+        # in host fetches are the honest total.
+        jax.block_until_ready(self.stacked)
+        t3 = time.time()
+        if verbose:
+            nbytes = sum(
+                x.nbytes for x in jax.tree_util.tree_leaves(stacked)
+            )
+            print(
+                f"StackedEval: {len(batches)} batches, {nbytes / 1e6:.0f} MB "
+                f"(collate {t1 - t0:.1f}s, stack {t2 - t1:.1f}s, "
+                f"transfer {t3 - t2:.1f}s)",
+                file=sys.stderr,
+            )
+        self.mask = (
+            np.concatenate([np.asarray(b.graph_mask) for b in batches]) > 0
+        )
+        self.y = np.concatenate([np.asarray(b.y) for b in batches])[self.mask]
+        self.run = eval_run
+
+    def predict(self, params):
+        """(valid_graphs,) predictions, aligned with ``self.y``."""
+        import numpy as np
+
+        return np.asarray(self.run(params, self.stacked)).reshape(-1)[self.mask]
+
+
 def make_dp_train_step(cfg: PAMNetConfig, optimizer, loss_kind: str, mesh: Mesh,
                        ema_decay: float | None = 0.999, axis: str = "dp"):
     """Data-parallel train step: batch has leading device axis D; gradients

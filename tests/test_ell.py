@@ -116,7 +116,8 @@ def test_sorted_scan_impls_compensate_prefix_cancellation(rng):
     straddle block boundaries (R % _SCAN_BLOCK != 0)."""
     from pamnet_tpu.ops import ell
 
-    R, D, G = 16310, 4, 37  # R >> _SCAN_BLOCK=512 and not a multiple
+    R, D, G = 16310, 4, 37  # R >> ell._SCAN_BLOCK and not a multiple of it
+    assert R % ell._SCAN_BLOCK != 0, "R must exercise the partial tail block"
     vals = (rng.standard_normal((R, D)) * 100.0 + 300.0).astype(np.float32)
     ids = np.sort(rng.integers(0, G, size=R)).astype(np.int32)
     offsets = jnp.asarray(ell.build_offsets_np(ids, R, G))

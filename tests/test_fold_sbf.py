@@ -119,6 +119,27 @@ def test_fold_gradients_match_unfolded(rng):
                                rtol=0, atol=5e-4)
 
 
+def test_auto_gate_off_with_ell_tables():
+    """Training batches carry ELL triplet tables; auto-folding there would
+    route mlp_sbf weight gradients through a plain triplet gather whose
+    backward is a T-axis scatter-add (the op the ELL machinery removes), so
+    the gate must be off — while inference batches (offsets only) and a
+    forced cfg.fold_sbf=True still fold."""
+    from pamnet_tpu.models.pamnet import _fold_gate
+
+    cfg = PAMNetConfig(dataset="rna_t", dim=16, n_layer=1, cutoff_l=2.6,
+                       cutoff_g=12.0, flow="target_to_source")
+    ell_tables = {"t1_jj": object(), "t1_jj_mask": object()}
+    offsets_only = {"t1_ji_off": object()}
+    assert not _fold_gate(cfg, ell_tables)
+    assert _fold_gate(cfg, offsets_only)
+    assert _fold_gate(cfg, None)
+    assert _fold_gate(dataclasses.replace(cfg, fold_sbf=True), ell_tables)
+    assert not _fold_gate(dataclasses.replace(cfg, fold_sbf=False), None)
+    # dim 32 -> ns*dim = 224 > 128: never auto-folds regardless of tables.
+    assert not _fold_gate(dataclasses.replace(cfg, dim=32), None)
+
+
 def test_auto_gate_by_width():
     """dim=32 -> ns*dim = 224 > 128: auto must not fold (fold_sbf=None)."""
     cfg = PAMNetConfig(dataset="rna_t", dim=32, n_layer=1, cutoff_l=2.6,

@@ -55,16 +55,19 @@ def check_divergences(reference_root: str) -> int:
         with tempfile.NamedTemporaryFile("w", suffix=".mol2", delete=False) as f:
             f.write(d.mol2)
             path = f.name
-        col = FEATURE_NAMES.index(d.feature)
-        _, got_feats = featurize_mol2(parse_mol2(path))
-        got = float(got_feats[d.atom, col])
         try:
-            _, ref_feats = reference_features(path, reference_root)
-            ref = float(ref_feats[d.atom, col])
-        except Exception as e:  # noqa: BLE001 - report per entry
-            print(f"{d.name}: OpenBabel side FAILED ({e})")
-            failures += 1
-            continue
+            col = FEATURE_NAMES.index(d.feature)
+            _, got_feats = featurize_mol2(parse_mol2(path))
+            got = float(got_feats[d.atom, col])
+            try:
+                _, ref_feats = reference_features(path, reference_root)
+                ref = float(ref_feats[d.atom, col])
+            except Exception as e:  # noqa: BLE001 - report per entry
+                print(f"{d.name}: OpenBabel side FAILED ({e})")
+                failures += 1
+                continue
+        finally:
+            os.unlink(path)
         ok_ours = got == d.ours
         ok_ref = ref == d.openbabel
         status = "OK" if (ok_ours and ok_ref) else "MISMATCH"
