@@ -40,8 +40,10 @@ def main():
                        cutoff_g=20.0, flow="target_to_source")
     params = load_torch_checkpoint(ckpt)
     mols = TUDataset(data_root, "rna_native").molecules()
+    # Production inference configuration (bench.py / inference driver):
+    # sorted offsets only + per-batch ladder buckets.
     loader = GraphLoader(mols, "rna", cfg.cutoff_l, cfg.cutoff_g,
-                         batch_size=16, build_tables=False)
+                         batch_size=16, build_tables=False, ladder_pads=True)
     print(f"pads: {loader.pads}", file=sys.stderr)
     batches = [jax.tree.map(jnp.asarray, gb) for gb in loader]
 
