@@ -149,8 +149,13 @@ class GraphLoader:
         b = min(self.batch_size, len(self.structs))
         tops = np.sort(counts, axis=0)[-b:]  # (b, 5) largest per column
         n, eg, el, t2, t1 = tops.sum(axis=0)
+        # Exact dataset-max widths (NOT rounded up): ELL aggregation reads
+        # G*K rows, so every padded slot is a wasted 128-lane row read;
+        # exact-K measured +1.7% at the QM9 recipe over round-to-8 widths
+        # with identical losses (/tmp probe, DEVNOTES round-3).  K is a
+        # middle dim of the (G, K, D) gather — no layout alignment needed.
         ks = np.array([structure_group_maxima(s) for s in self.structs]).max(0)
-        ks = np.maximum(np.ceil(ks / 8).astype(int) * 8, 8)
+        ks = np.maximum(ks.astype(int), 1)
         base = PadSizes.for_counts(
             n, max(eg, 1), max(el, 1), max(t2, 1), max(t1, 1),
             self.batch_size, align=align,
