@@ -70,6 +70,61 @@ def test_fuzz_rna_kind(rng):
         assert np.all(np.isfinite(out))
 
 
+def test_fuzz_routing_matrix(rng):
+    """Every aggregation/fold/fuse route through the model must agree on
+    random RNA-kind inputs: ELL tables (training batches), sorted offsets
+    (inference batches), plain scatter (tables stripped), folded sbf
+    projection, fused single-row gather, and bf16 compute — all against the
+    scatter-fallback f32 reference.  Guards the routing gates in
+    models/pamnet.py (_fold_gate, fuse auto) and models/layers.py (_agg/_gath)
+    as a matrix, not just the paths the drivers happen to take."""
+    import dataclasses
+
+    from pamnet_tpu.data.batch import attach_basis, collate_structures, \
+        precompute_structure
+
+    cfg = CFG_RNA
+    params = init_pamnet(jax.random.PRNGKey(4), cfg)
+    mols = []
+    for _ in range(3):
+        n = int(rng.integers(4, 24))
+        mols.append(dict(z=rng.integers(0, 3, n).astype(np.int32),
+                         pos=(rng.random((n, 3)) * 9).astype(np.float32),
+                         y=float(rng.random())))
+    structs = [precompute_structure(m, "rna", cfg.cutoff_l, cfg.cutoff_g)
+               for m in mols]
+    for s in structs:
+        attach_basis(s, cfg.cutoff_l)
+    gb_tables = jax.tree.map(jnp.asarray, collate_structures(
+        structs, build_tables=True))
+    gb_offsets = jax.tree.map(jnp.asarray, collate_structures(
+        structs, build_tables=False))
+    gb_plain = gb_offsets._replace(tables={})
+
+    def run(gb, c):
+        return np.asarray(
+            jax.jit(apply_pamnet, static_argnums=2)(params, gb, c)
+        )[:3]
+
+    ref = run(gb_plain, dataclasses.replace(cfg, fold_sbf=False))
+    cases = {
+        "ell_tables_auto": (gb_tables, cfg),          # fold auto-off
+        "offsets_auto": (gb_offsets, cfg),            # fold+fuse auto-on
+        "fold_nofuse": (gb_offsets, dataclasses.replace(
+            cfg, fold_sbf=True, fuse_sbf_gather=False)),
+        "forced_fold_with_tables": (gb_tables, dataclasses.replace(
+            cfg, fold_sbf=True)),
+        "scatter_fold": (gb_plain, dataclasses.replace(cfg, fold_sbf=True)),
+    }
+    for name, (gb, c) in cases.items():
+        np.testing.assert_allclose(
+            run(gb, c), ref, rtol=2e-4, atol=2e-5, err_msg=name
+        )
+    bf16 = run(gb_offsets, dataclasses.replace(cfg, compute_dtype="bfloat16"))
+    np.testing.assert_allclose(bf16, ref, rtol=5e-2, atol=5e-2,
+                               err_msg="bf16_offsets")
+
+
 def test_fuzz_gradients_finite(rng):
     params = init_pamnet(jax.random.PRNGKey(3), CFG)
     mols = [_random_mol(rng) for _ in range(3)]
