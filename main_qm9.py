@@ -190,8 +190,13 @@ def main():
     t_load = time.time()
     train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
                                shuffle=True, seed=args.seed, drop_last=True, **common)
+    # Chain pads train -> val -> test: explicit pads are a MINIMUM bucket
+    # (each loader widens over its own worst case — e.g. an eval split whose
+    # max aggregation-group size exceeds the train split's by 1 under the
+    # exact ELL widths), and chaining keeps the two eval splits on ONE
+    # compiled shape unless test strictly exceeds val.
     val_loader = GraphLoader(val_mols, batch_size=args.batch_size, pads=train_loader.pads, **common)
-    test_loader = GraphLoader(test_mols, batch_size=args.batch_size, pads=train_loader.pads, **common)
+    test_loader = GraphLoader(test_mols, batch_size=args.batch_size, pads=val_loader.pads, **common)
     print(f"Data loaded! train={len(train_mols)} val={len(val_mols)} "
           f"test={len(test_mols)} pads={train_loader.pads} "
           f"({time.time() - t_load:.1f}s structure build)")

@@ -81,12 +81,16 @@ def _t(tables, name):
 
 # Forward segment-sum preference when a batch carries BOTH an ELL table and
 # sorted-group offsets for the same key: "ell" = gather + dense K-sum (reads
-# G*K random rows, K rounded up to 8); "sorted" = blocked prefix scan over
-# the R group-sorted rows (streams them once).  Backwards are identical
+# G*K rows, K = the dataset-max group size); "sorted" = blocked prefix scan
+# over the R group-sorted rows (streams them once).  Backwards are identical
 # either way (masked gather), and gathers keep their scatter-free ELL
 # backward regardless — this flag ONLY reorders the forward reduction.
 # Same-process A/B at the QM9 bf16 recipe measured ELL faster
 # (tools/tpu_ab.py aggfwd; DEVNOTES round-3), so it stays the default.
+# MEASUREMENT HOOK, not runtime config: the value is read at TRACE time, so
+# flip it BEFORE building a jit wrapper — already-compiled executables keep
+# the routing they were traced with (tools/tpu_ab.py builds a fresh wrapper
+# per variant for exactly this reason).
 AGG_FORWARD = "ell"
 
 

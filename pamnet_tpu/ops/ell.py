@@ -105,6 +105,9 @@ def _compensated_cumsum(v):
 # (two full-length cumsums + a full-length TwoSum chain).  Equal accuracy
 # (both hold the batch-16 RNA production path at scatter-parity vs the f64
 # oracle); blocked measured faster on v5e (DEVNOTES round-3).
+# MEASUREMENT HOOK, not runtime config: read at TRACE time — flip it BEFORE
+# building a jit wrapper; already-compiled executables keep the scheme they
+# were traced with (tools/tpu_ab.py scanimpl rebuilds per variant).
 SORTED_SCAN_IMPL = "blocked"
 # Block length: 128/256/512 measured equal on v5e (458/455/457 g/s RNA
 # scoring; 1024+ degrade) — 128 wins on the error bound (∝ B) and divides

@@ -120,6 +120,20 @@ def test_fuzz_routing_matrix(rng):
         np.testing.assert_allclose(
             run(gb, c), ref, rtol=2e-4, atol=2e-5, err_msg=name
         )
+    # AGG_FORWARD="sorted": forward sums via the blocked scan while gathers
+    # keep their ELL backward (both table kinds present) — the tpu_ab aggfwd
+    # route, flipped BEFORE tracing (the hook is read at trace time).
+    from pamnet_tpu.models import layers
+
+    orig = layers.AGG_FORWARD
+    try:
+        layers.AGG_FORWARD = "sorted"
+        np.testing.assert_allclose(
+            run(gb_tables, dataclasses.replace(cfg, fold_sbf=False)), ref,
+            rtol=2e-4, atol=2e-5, err_msg="sorted_forward_with_ell_tables",
+        )
+    finally:
+        layers.AGG_FORWARD = orig
     bf16 = run(gb_offsets, dataclasses.replace(cfg, compute_dtype="bfloat16"))
     np.testing.assert_allclose(bf16, ref, rtol=5e-2, atol=5e-2,
                                err_msg="bf16_offsets")

@@ -510,19 +510,12 @@ def exp_devgraph():
           f"host-precomputed (production default)")
 
 
-def exp_scan():
-    """Compensated prefix-scan (sorted offsets, the current inference
-    default) vs plain XLA scatter-add segment sums on the CURRENT RNA
-    production path (fold+fuse+ladder, f32).  Both are exact to ~1e-5 of the
-    f64 oracle (scatter-adds measured 7.5e-6; the compensated scan 7.6e-6),
-    so this is purely a speed question: the TwoSum compensation cost the
-    scan path -28%, and the early-round "sorted beats scatter" matrix
-    (77 vs 118 g/s) predates fold/fuse/ladder, which shrank everything
-    around the segment sums."""
+def _rna_production_setup():
+    """(cfg, params, mols, batches) for the RNA production scoring path
+    (bundled checkpoint + data, fold+fuse+ladder, f32)."""
     import os
 
     from pamnet_tpu.data.tu import TUDataset
-    from pamnet_tpu.models import apply_pamnet
     from pamnet_tpu.train.checkpoint import load_torch_checkpoint
     from pamnet_tpu.utils.runtime import resolve_path
 
@@ -535,36 +528,53 @@ def exp_scan():
     mols = TUDataset(data_root, "rna_native").molecules()
     loader = GraphLoader(mols, "rna", cfg.cutoff_l, cfg.cutoff_g,
                          batch_size=16, build_tables=False, ladder_pads=True)
-    base = [jax.tree.map(jnp.asarray, gb) for gb in loader]
+    return cfg, params, mols, [jax.tree.map(jnp.asarray, gb) for gb in loader]
 
-    def run(variant, batches):
-        fwd = jax.jit(lambda p, g, acc: acc + apply_pamnet(p, g, cfg).sum())
+
+def _score_rna(exp, variant, cfg, params, mols, batches):
+    """Best-of-3 x 10-rep chained-accumulator scoring run (the DEVNOTES
+    honest-fetch timing contract), building a FRESH jit wrapper so
+    trace-time hooks (AGG_FORWARD, SORTED_SCAN_IMPL) are re-read."""
+    from pamnet_tpu.models import apply_pamnet
+
+    fwd = jax.jit(lambda p, g, acc: acc + apply_pamnet(p, g, cfg).sum())
+    acc = jnp.float32(0.0)
+    t0 = time.time()
+    for gb in batches:
+        acc = fwd(params, gb, acc)
+    ref_sum = float(acc)
+    print(f"  [{variant}] compile+first: {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    best = None
+    for _ in range(3):
         acc = jnp.float32(0.0)
         t0 = time.time()
-        for gb in batches:
-            acc = fwd(params, gb, acc)
-        ref_sum = float(acc)
-        print(f"  [{variant}] compile+first: {time.time()-t0:.1f}s",
-              file=sys.stderr)
-        best = None
-        for _ in range(3):
-            acc = jnp.float32(0.0)
-            t0 = time.time()
-            for _ in range(10):
-                for gb in batches:
-                    acc = fwd(params, gb, acc)
-            _ = float(acc)
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        gps = 10 * len(mols) / best
-        print(f"AB scan variant={variant} graphs_s={gps:.1f} "
-              f"score_sum={ref_sum:.4f}")
-        return gps
+        for _ in range(10):
+            for gb in batches:
+                acc = fwd(params, gb, acc)
+        _ = float(acc)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    gps = 10 * len(mols) / best
+    print(f"AB {exp} variant={variant} graphs_s={gps:.1f} "
+          f"score_sum={ref_sum:.4f}")
+    return gps
 
+
+def exp_scan():
+    """Compensated prefix-scan (sorted offsets, the current inference
+    default) vs plain XLA scatter-add segment sums on the CURRENT RNA
+    production path (fold+fuse+ladder, f32).  Both are exact to ~1e-5 of the
+    f64 oracle (scatter-adds measured 7.5e-6; the compensated scan 7.6e-6),
+    so this is purely a speed question: the TwoSum compensation cost the
+    scan path -28%, and the early-round "sorted beats scatter" matrix
+    (77 vs 118 g/s) predates fold/fuse/ladder, which shrank everything
+    around the segment sums."""
+    cfg, params, mols, base = _rna_production_setup()
     stripped = [gb._replace(tables={}) for gb in base]
-    a = run("comp_scan", base)
-    b = run("scatter", stripped)
-    a2 = run("comp_scan_again", base)
+    a = _score_rna("scan", "comp_scan", cfg, params, mols, base)
+    b = _score_rna("scan", "scatter", cfg, params, mols, stripped)
+    a2 = _score_rna("scan", "comp_scan_again", cfg, params, mols, base)
     print(f"AB scan scatter_vs_scan={b/max(a,a2):.3f}x")
 
 
@@ -612,49 +622,13 @@ def exp_scanimpl():
     global TwoSum scan (two full-length cumsums + a full-length elementwise
     TwoSum chain).  Accuracy of both is locked by tests/test_ell.py and the
     production parity suite; this measures pure speed."""
-    import os
-
-    from pamnet_tpu.data.tu import TUDataset
-    from pamnet_tpu.models import apply_pamnet
     from pamnet_tpu.ops import ell
-    from pamnet_tpu.train.checkpoint import load_torch_checkpoint
-    from pamnet_tpu.utils.runtime import resolve_path
 
-    ref = os.environ.get("PAMNET_REFERENCE_ROOT", "/root/reference")
-    data_root = resolve_path("./data/RNA-Puzzles", f"{ref}/data/RNA-Puzzles")
-    ckpt = resolve_path("./save/pamnet_rna.pt", f"{ref}/save/pamnet_rna.pt")
-    cfg = PAMNetConfig(dataset="rna_native", dim=16, n_layer=1, cutoff_l=2.6,
-                       cutoff_g=20.0, flow="target_to_source")
-    params = load_torch_checkpoint(ckpt)
-    mols = TUDataset(data_root, "rna_native").molecules()
-    loader = GraphLoader(mols, "rna", cfg.cutoff_l, cfg.cutoff_g,
-                         batch_size=16, build_tables=False, ladder_pads=True)
-    batches = [jax.tree.map(jnp.asarray, gb) for gb in loader]
+    cfg, params, mols, batches = _rna_production_setup()
 
     def run(variant, impl):
         ell.SORTED_SCAN_IMPL = impl
-        fwd = jax.jit(lambda p, g, acc: acc + apply_pamnet(p, g, cfg).sum())
-        acc = jnp.float32(0.0)
-        t0 = time.time()
-        for gb in batches:
-            acc = fwd(params, gb, acc)
-        ref_sum = float(acc)
-        print(f"  [{variant}] compile+first: {time.time()-t0:.1f}s",
-              file=sys.stderr)
-        best = None
-        for _ in range(3):
-            acc = jnp.float32(0.0)
-            t0 = time.time()
-            for _ in range(10):
-                for gb in batches:
-                    acc = fwd(params, gb, acc)
-            _ = float(acc)
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        gps = 10 * len(mols) / best
-        print(f"AB scanimpl variant={variant} graphs_s={gps:.1f} "
-              f"score_sum={ref_sum:.4f}")
-        return gps
+        return _score_rna("scanimpl", variant, cfg, params, mols, batches)
 
     orig = ell.SORTED_SCAN_IMPL
     try:
