@@ -152,8 +152,8 @@ class GraphLoader:
         # Exact dataset-max widths (NOT rounded up): ELL aggregation reads
         # G*K rows, so every padded slot is a wasted 128-lane row read;
         # exact-K measured +1.7% at the QM9 recipe over round-to-8 widths
-        # with identical losses (/tmp probe, DEVNOTES round-3).  K is a
-        # middle dim of the (G, K, D) gather — no layout alignment needed.
+        # with identical losses (DEVNOTES round-3).  K is a middle dim of
+        # the (G, K, D) gather — no layout alignment needed.
         ks = np.array([structure_group_maxima(s) for s in self.structs]).max(0)
         ks = np.maximum(ks.astype(int), 1)
         base = PadSizes.for_counts(
