@@ -19,17 +19,26 @@ are therefore confined to *perception*, not pattern semantics:
 
 * partial charges come from the mol2 file (PDBbind ships Gasteiger-style
   charges) rather than being recomputed;
-* formal charges are perceived structurally for the cations the patterns
-  test (``*+1``): tetravalent N (ammonium/quaternary), tetravalent P
+* formal charges are perceived from SYBYL types (``N.4`` -> +1, matching
+  OpenBabel's mol2 typer) plus structure for the cations the patterns test
+  (``*+1``): tetravalent N (ammonium/quaternary), tetravalent P
   (phosphonium), trivalent-v3 S (sulfonium); anions default to 0 (mol2
   carries no formal charges) — affects only the ``-``/``-2``/``-3`` donor
   exclusions for rare H-bearing anions;
-* H counts are *explicit* hydrogens (PDBbind mol2 files are protonated, so
-  this matches OpenBabel's implicit+explicit H count there);
-* hybridization comes from the SYBYL type suffix rather than OpenBabel's
-  perception (exotic types default to sp3);
+* H counts = explicit hydrogens + an implicit complement from the
+  element's typical-valence ladder (OpenBabel's model: the smallest
+  standard valence >= the bond-order sum fills up with hydrogens), so
+  under-protonated files perceive like OpenBabel; isolated atoms are
+  treated as ions (no implicit H — a bare Cl is chloride, not HCl) and
+  ``O.co2`` carboxylate oxygens never protonate;
+* hybridization comes from the SYBYL type suffix (``.cat`` -> sp2 like
+  OpenBabel's planar-cation perception; other exotic suffixes default to
+  sp3); suffix-less types of the organic elements OpenBabel's HYB table
+  covers (B/C/N/O/Si/P/S/As/Se) are perceived from their bond orders, and
+  suffix-less halogen/metal/ion types keep hyb 0;
 * aromaticity = SYBYL ``.ar`` types / ``ar`` bonds rather than OpenBabel's
-  aromaticity model.
+  aromaticity model (OpenBabel's mol2 reader also trusts the file's
+  aromatic markings).
 
 ``pamnet_tpu/data/featurizer_divergences.py`` enumerates the concrete
 divergence cases these approximations produce, machine-checkable on any
@@ -79,21 +88,75 @@ FEATURE_NAMES = [
 
 
 def _hybridization(sybyl: str) -> int:
-    """OpenBabel-style hyb value from the SYBYL type suffix.
+    """OpenBabel-style hyb value from the SYBYL type suffix (-1 = no
+    suffix; the caller perceives those from bond orders where OpenBabel's
+    HYB table would).
 
     Sulfoxide/sulfone sulfur (S.O / S.O2) is tetrahedral -> sp3, matching
-    OpenBabel's electron-domain assignment; suffixes compare
+    OpenBabel's electron-domain assignment; C.cat (guanidinium-type planar
+    cation) is sp2 like OpenBabel's perception; suffixes compare
     case-insensitively (writers emit both S.O2 and S.o2)."""
     if "." not in sybyl:
-        return 0
+        return -1
     suffix = sybyl.split(".", 1)[1].lower()
     if suffix == "1":
         return 1
-    if suffix in ("2", "ar", "am", "co2", "pl3"):
+    if suffix in ("2", "ar", "am", "co2", "pl3", "cat"):
         return 2
     if suffix in ("3", "4", "o", "o2", "th", "t3"):
         return 3
     return 3
+
+
+# Elements whose suffix-less SYBYL types get bond-order hybridization
+# perception (the organic set OpenBabel's HYB typer table covers); other
+# suffix-less types (halogens, metals, ions) keep hyb 0.
+_BARE_HYB_ELEMENTS = {5, 6, 7, 8, 14, 15, 16, 33, 34}
+
+
+def _bare_hybridization(z: int, orders: list[str]) -> int:
+    """Bond-order hybridization for a suffix-less SYBYL type: triple or
+    cumulated double bonds -> sp, any double/aromatic -> sp2, all single ->
+    sp3 (e.g. bare divalent Se in selenoethers perceives sp3 like
+    OpenBabel)."""
+    if int(z) not in _BARE_HYB_ELEMENTS or not orders:
+        return 0
+    n_triple = sum(o == "3" for o in orders)
+    n_double = sum(o == "2" for o in orders)
+    if n_triple or n_double >= 2:
+        return 1
+    if n_double or any(o == "ar" for o in orders):
+        return 2
+    return 3
+
+
+# Typical-valence ladders for the implicit-hydrogen complement (OpenBabel's
+# model: implicit H fill the smallest standard valence >= the bond-order
+# sum).  Charge-sensitive elements (N/O/P/S family) shift the ladder by the
+# formal charge (N+ -> 4, O- -> 1).
+_TYPICAL_VALENCES = {
+    5: (3,), 6: (4,), 7: (3,), 8: (2,), 9: (1,),
+    14: (4,), 15: (3, 5), 16: (2, 4, 6),
+    17: (1,), 34: (2, 4, 6), 35: (1,), 53: (1,),
+}
+_CHARGE_ADJUSTED = {7, 8, 15, 16, 34}
+
+
+def _implicit_h(z: int, sybyl: str, bosum: int, conn: int, fc: int) -> int:
+    """Implicit hydrogens on one atom: typical valence minus bond-order sum.
+
+    Isolated atoms (conn == 0) are ions, not hydrides, and O.co2
+    carboxylate oxygens never carry H (their formal charge is delocalized,
+    which mol2 cannot express)."""
+    ladder = _TYPICAL_VALENCES.get(int(z))
+    if ladder is None or conn == 0 or sybyl.lower() == "o.co2":
+        return 0
+    for tv in ladder:
+        if int(z) in _CHARGE_ADJUSTED:
+            tv += fc
+        if tv >= bosum:
+            return tv - bosum
+    return 0
 
 
 # SYBYL bond-order values for valence accounting (TRIPOS bond types).
@@ -177,14 +240,40 @@ def perceive_mol2(mol: Mol2) -> PerceivedMol:
         [sum(z[w] == 1 for w, _ in nbrs[v]) for v in range(n)], dtype=np.int64
     )
     hyb = np.array([_hybridization(s) for s in mol.sybyl], dtype=np.int64)
+    bare = hyb < 0
+    if bare.any():
+        orders = [[o for _, o in nbrs[v]] for v in range(n)]
+        hyb[bare] = [
+            _bare_hybridization(z[v], orders[v]) for v in np.where(bare)[0]
+        ]
 
-    # Structural formal-charge perception for the cations the reference
-    # patterns test (*+1): ammonium/quaternary N, phosphonium P, sulfonium
-    # S.  Anions stay 0 (mol2 has no formal charges; documented).
+    # Formal-charge perception for the cations the reference patterns test
+    # (*+1): the SYBYL N.4 type is +1 by definition (OpenBabel's mol2 typer
+    # marks it charged even when the file under-protonates it), plus
+    # structural ammonium/quaternary N, phosphonium P, sulfonium S.  Anions
+    # stay 0 (mol2 has no formal charges; documented).
     fc = np.zeros(n, dtype=np.int64)
+    fc[np.array([s.lower() == "n.4" for s in mol.sybyl], dtype=bool)] = 1
     fc[(z == 7) & (conn == 4) & (valence == 4)] = 1
     fc[(z == 15) & (conn == 4) & (valence == 4)] = 1
     fc[(z == 16) & (conn == 3) & (valence == 3)] = 1
+
+    # Implicit-hydrogen complement (OpenBabel's typical-valence model) so
+    # under-protonated files perceive like OpenBabel: H count, connectivity
+    # X, and valence v all include implicit H, exactly as in SMARTS
+    # semantics over an OpenBabel molecule.
+    impl = np.array(
+        [
+            _implicit_h(z[v], mol.sybyl[v], int(valence[v]), int(conn[v]),
+                        int(fc[v]))
+            for v in range(n)
+        ],
+        dtype=np.int64,
+    )
+    impl[z == 1] = 0
+    num_h = num_h + impl
+    conn = conn + impl
+    valence = valence + impl
 
     return PerceivedMol(
         z=z, aromatic=aromatic, formal_charge=fc, num_h=num_h,

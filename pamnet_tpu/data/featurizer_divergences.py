@@ -1,16 +1,29 @@
-"""Machine-checkable registry of the expected divergences between the
-first-party mol2 featurizer (pamnet_tpu/data/featurizer.py) and the
+"""Machine-checkable registry of expected agreements/divergences between
+the first-party mol2 featurizer (pamnet_tpu/data/featurizer.py) and the
 reference's OpenBabel-based one (reference: utils/featurizer.py:57-131).
 
-The featurizer docstring documents its approximations in prose; this module
-turns each one into a *specified fixture*: a minimal mol2, the heavy-atom
-index + feature column it affects, the value OUR featurizer provably emits
-(locked by tests/test_featurizer_divergences.py), and the value OpenBabel is
-expected to emit, with a confidence tag.
+The featurizer docstring documents its perception model in prose; this
+module turns each historically-divergent case into a *specified fixture*: a
+minimal mol2, the heavy-atom index + feature column it affects, the value
+OUR featurizer provably emits (locked by
+tests/test_featurizer_divergences.py), and the value OpenBabel is expected
+to emit, with a confidence tag.
+
+Two lists:
+
+* ``EXPECTED_DIVERGENCES`` — cases where our perception still differs from
+  expected OpenBabel behavior (``ours != openbabel``).
+* ``VERIFIED_MATCHES`` — cases that *used to* diverge until the perception
+  layer closed them (round 3: SYBYL ``N.4`` formal charge, the
+  typical-valence implicit-hydrogen model, ``C.cat`` sp2, bond-order
+  hybridization for suffix-less organics).  Kept as fixtures so (a) the
+  matched behavior can never silently regress and (b) the OpenBabel side
+  of the claim stays checkable (``ours == openbabel``).
 
 Consumers:
   * tests/test_featurizer_divergences.py asserts the ``ours`` column on
-    every entry, so the registry can never drift from the implementation.
+    every entry in BOTH lists, so the registry can never drift from the
+    implementation.
   * tools/compare_openbabel.py --check-divergences runs BOTH featurizers on
     these fixtures wherever pybel is available and verifies the
     ``openbabel`` column, resolving the "likely"/"uncertain" entries into
@@ -19,8 +32,9 @@ Consumers:
 Confidence semantics:
   certain   — follows directly from OpenBabel's documented semantics.
   likely    — depends on OpenBabel perception details (formal charges from
-              SYBYL types) that match common behavior but are unverified in
-              this environment (no OpenBabel, DEVNOTES.md).
+              SYBYL types, HYB-table coverage) that match common behavior
+              but are unverified in this environment (no OpenBabel,
+              DEVNOTES.md).
   uncertain — the divergence may not exist; recorded so the harness checks
               it explicitly instead of it hiding in an aggregate diff.
 """
@@ -43,123 +57,6 @@ class Divergence:
 
 
 EXPECTED_DIVERGENCES: list[Divergence] = [
-    Divergence(
-        name="n4-unprotonated-acceptor",
-        mol2="""\
-@<TRIPOS>MOLECULE
-n4_unprot
-4 3 1
-SMALL
-GASTEIGER
-@<TRIPOS>ATOM
-  1 N1  0.000  0.000  0.000 N.4 1 AMM  0.30
-  2 C1  1.500  0.000  0.000 C.3 1 AMM -0.10
-  3 C2 -1.500  0.000  0.000 C.3 1 AMM -0.10
-  4 C3  0.000  1.500  0.000 C.3 1 AMM -0.10
-@<TRIPOS>BOND
-  1 1 2 1
-  2 1 3 1
-  3 1 4 1
-""",
-        atom=0,
-        feature="acceptor",
-        ours=1.0,
-        openbabel=0.0,
-        confidence="likely",
-        reason=(
-            "N.4 written with only 3 heavy bonds and no explicit H "
-            "(under-protonated file): we approximate formal charge as "
-            "neutral (degree 3, valence 3 -> not excluded); OpenBabel's "
-            "mol2 typer marks N.4 as +1, hitting the *+1 acceptor "
-            "exclusion (reference featurizer.py:127)."
-        ),
-    ),
-    Divergence(
-        name="implicit-h-donor",
-        mol2="""\
-@<TRIPOS>MOLECULE
-dma_noh
-3 2 1
-SMALL
-GASTEIGER
-@<TRIPOS>ATOM
-  1 N1  0.000  0.000  0.000 N.3 1 DMA -0.30
-  2 C1  1.450  0.000  0.000 C.3 1 DMA  0.00
-  3 C2 -1.450  0.000  0.000 C.3 1 DMA  0.00
-@<TRIPOS>BOND
-  1 1 2 1
-  2 1 3 1
-""",
-        atom=0,
-        feature="donor",
-        ours=0.0,
-        openbabel=1.0,
-        confidence="certain",
-        reason=(
-            "Dimethylamine written WITHOUT its N-H hydrogen: our donor "
-            "test counts explicit H only (valid for protonated PDBbind "
-            "files, featurizer.py docstring); OpenBabel adds 1 implicit H "
-            "to divalent N.3 and the !H0 donor pattern fires "
-            "(reference featurizer.py:128)."
-        ),
-    ),
-    Divergence(
-        name="ccat-hybridization",
-        mol2="""\
-@<TRIPOS>MOLECULE
-guanidinium_core
-4 3 1
-SMALL
-GASTEIGER
-@<TRIPOS>ATOM
-  1 C1  0.000  0.000  0.000 C.cat 1 GUA  0.60
-  2 N1  1.330  0.000  0.000 N.pl3 1 GUA -0.40
-  3 N2 -0.665  1.150  0.000 N.pl3 1 GUA -0.40
-  4 N3 -0.665 -1.150  0.000 N.pl3 1 GUA -0.40
-@<TRIPOS>BOND
-  1 1 2 ar
-  2 1 3 ar
-  3 1 4 ar
-""",
-        atom=0,
-        feature="hyb",
-        ours=3.0,
-        openbabel=2.0,
-        confidence="certain",
-        reason=(
-            "Guanidinium carbon typed C.cat: our SYBYL-suffix table has no "
-            "'cat' entry and defaults exotic suffixes to sp3 "
-            "(featurizer.py::_hybridization); OpenBabel perceives the "
-            "planar cation as sp2."
-        ),
-    ),
-    Divergence(
-        name="se-bare-hybridization",
-        mol2="""\
-@<TRIPOS>MOLECULE
-selenide
-3 2 1
-SMALL
-GASTEIGER
-@<TRIPOS>ATOM
-  1 Se1  0.000  0.000  0.000 Se  1 SEL -0.20
-  2 C1   1.950  0.000  0.000 C.3 1 SEL  0.10
-  3 C2  -1.950  0.000  0.000 C.3 1 SEL  0.10
-@<TRIPOS>BOND
-  1 1 2 1
-  2 1 3 1
-""",
-        atom=0,
-        feature="hyb",
-        ours=0.0,
-        openbabel=3.0,
-        confidence="likely",
-        reason=(
-            "Dimethylselenide Se typed bare 'Se' (no SYBYL suffix): our "
-            "suffix table emits 0 for suffix-less types; OpenBabel "
-            "perceives divalent Se as sp3."
-        ),
-    ),
     Divergence(
         name="bare-metal-acceptor",
         mol2="""\
@@ -184,6 +81,155 @@ GASTEIGER
             "also reads it as neutral, there is NO divergence and this "
             "entry's openbabel value flips to 1.0 — the harness resolves "
             "it."
+        ),
+    ),
+    Divergence(
+        name="isolated-anion-implicit-h",
+        mol2="""\
+@<TRIPOS>MOLECULE
+fluoride_ion
+1 0 1
+SMALL
+GASTEIGER
+@<TRIPOS>ATOM
+  1 F1  0.000  0.000  0.000 F 1 FLU -0.90
+""",
+        atom=0,
+        feature="donor",
+        ours=0.0,
+        openbabel=1.0,
+        confidence="uncertain",
+        reason=(
+            "Isolated halogen atom: our implicit-H model treats "
+            "zero-connectivity atoms as ions (a bare F is fluoride, not "
+            "HF), so the !H0 donor alternative never fires; OpenBabel's "
+            "typical-valence fill may assign 1 implicit H to a neutral "
+            "unbonded F, matching donor via [!H0;#9]. If OpenBabel also "
+            "perceives it H-free, there is no divergence."
+        ),
+    ),
+]
+
+
+# Historically-divergent fixtures the round-3 perception layer closed:
+# ours == openbabel on every entry (asserted by the tests), so a perception
+# regression reopens them loudly.
+VERIFIED_MATCHES: list[Divergence] = [
+    Divergence(
+        name="n4-unprotonated-acceptor",
+        mol2="""\
+@<TRIPOS>MOLECULE
+n4_unprot
+4 3 1
+SMALL
+GASTEIGER
+@<TRIPOS>ATOM
+  1 N1  0.000  0.000  0.000 N.4 1 AMM  0.30
+  2 C1  1.500  0.000  0.000 C.3 1 AMM -0.10
+  3 C2 -1.500  0.000  0.000 C.3 1 AMM -0.10
+  4 C3  0.000  1.500  0.000 C.3 1 AMM -0.10
+@<TRIPOS>BOND
+  1 1 2 1
+  2 1 3 1
+  3 1 4 1
+""",
+        atom=0,
+        feature="acceptor",
+        ours=0.0,
+        openbabel=0.0,
+        confidence="likely",
+        reason=(
+            "N.4 written with only 3 heavy bonds and no explicit H "
+            "(under-protonated file): the SYBYL type is +1 by definition, "
+            "and the perception layer now marks it so (like OpenBabel's "
+            "mol2 typer), hitting the *+1 acceptor exclusion (reference "
+            "featurizer.py:127). Closed round 3 (was ours=1.0)."
+        ),
+    ),
+    Divergence(
+        name="implicit-h-donor",
+        mol2="""\
+@<TRIPOS>MOLECULE
+dma_noh
+3 2 1
+SMALL
+GASTEIGER
+@<TRIPOS>ATOM
+  1 N1  0.000  0.000  0.000 N.3 1 DMA -0.30
+  2 C1  1.450  0.000  0.000 C.3 1 DMA  0.00
+  3 C2 -1.450  0.000  0.000 C.3 1 DMA  0.00
+@<TRIPOS>BOND
+  1 1 2 1
+  2 1 3 1
+""",
+        atom=0,
+        feature="donor",
+        ours=1.0,
+        openbabel=1.0,
+        confidence="certain",
+        reason=(
+            "Dimethylamine written WITHOUT its N-H hydrogen: the "
+            "typical-valence implicit-H model now assigns divalent N.3 "
+            "one implicit H (like OpenBabel), so the !H0 donor pattern "
+            "fires (reference featurizer.py:128). Closed round 3 (was "
+            "ours=0.0)."
+        ),
+    ),
+    Divergence(
+        name="ccat-hybridization",
+        mol2="""\
+@<TRIPOS>MOLECULE
+guanidinium_core
+4 3 1
+SMALL
+GASTEIGER
+@<TRIPOS>ATOM
+  1 C1  0.000  0.000  0.000 C.cat 1 GUA  0.60
+  2 N1  1.330  0.000  0.000 N.pl3 1 GUA -0.40
+  3 N2 -0.665  1.150  0.000 N.pl3 1 GUA -0.40
+  4 N3 -0.665 -1.150  0.000 N.pl3 1 GUA -0.40
+@<TRIPOS>BOND
+  1 1 2 ar
+  2 1 3 ar
+  3 1 4 ar
+""",
+        atom=0,
+        feature="hyb",
+        ours=2.0,
+        openbabel=2.0,
+        confidence="certain",
+        reason=(
+            "Guanidinium carbon typed C.cat: the suffix table now maps "
+            "'cat' to sp2 (OpenBabel perceives the planar cation as sp2). "
+            "Closed round 3 (was ours=3.0 via the exotic-suffix default)."
+        ),
+    ),
+    Divergence(
+        name="se-bare-hybridization",
+        mol2="""\
+@<TRIPOS>MOLECULE
+selenide
+3 2 1
+SMALL
+GASTEIGER
+@<TRIPOS>ATOM
+  1 Se1  0.000  0.000  0.000 Se  1 SEL -0.20
+  2 C1   1.950  0.000  0.000 C.3 1 SEL  0.10
+  3 C2  -1.950  0.000  0.000 C.3 1 SEL  0.10
+@<TRIPOS>BOND
+  1 1 2 1
+  2 1 3 1
+""",
+        atom=0,
+        feature="hyb",
+        ours=3.0,
+        openbabel=3.0,
+        confidence="likely",
+        reason=(
+            "Dimethylselenide Se typed bare 'Se' (no SYBYL suffix): "
+            "suffix-less organics now get bond-order hybridization "
+            "perception (all-single divalent Se -> sp3, like OpenBabel). "
+            "Closed round 3 (was ours=0.0)."
         ),
     ),
 ]

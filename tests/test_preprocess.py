@@ -98,7 +98,10 @@ def test_featurizer_ethanolamine(tmp_path):
     assert f_n["N"] == 1.0 and f_o["O"] == 1.0
     assert f_n["donor"] == 1.0  # N-H
     assert f_n["acceptor"] == 1.0 and f_o["acceptor"] == 1.0
-    assert f_o["donor"] == 0.0  # no O-H in this fragment
+    # The fragment omits the hydroxyl H; the typical-valence model fills
+    # monovalent O.3 with one implicit H (as OpenBabel would), so the !H0
+    # donor alternative fires.
+    assert f_o["donor"] == 1.0
     assert f_c["hydrophobic"] == 0.0  # C bonded to N and O
     assert f_c["heterodegree"] == 2.0
     assert f_n["ring"] == 0.0
@@ -356,6 +359,84 @@ def test_featurizer_halogen_on_aromatic_and_metal(tmp_path):
     # hydrophobic (Cl is not N/O/F).
     assert f[5]["aromatic"] == 1.0 and f[5]["ring"] == 1.0
     assert f[5]["hydrophobic"] == 1.0
+
+
+def test_featurizer_implicit_hydrogen_model(tmp_path):
+    """The typical-valence implicit-H complement (OpenBabel's model):
+    under-protonated files perceive like protonated ones, while ions and
+    fully-bonded atoms gain nothing."""
+    # Thiol written without its S-H: the implicit H defeats the H0 term of
+    # the donor pattern's first alternative !$([#6,H0,-,-2,-3]), exactly
+    # as OpenBabel's perception would (S^3 keeps it hydrophobic either
+    # way).
+    _, f = _feat(tmp_path, """\
+        @<TRIPOS>MOLECULE
+        bare_thiol
+        2 1 1
+        SMALL
+        GASTEIGER
+        @<TRIPOS>ATOM
+          1 C1  0.000  0.000  0.000 C.3 1 THL  0.00
+          2 S1  1.800  0.000  0.000 S.3 1 THL -0.20
+        @<TRIPOS>BOND
+          1 1 2 1
+        """, name="thiol.mol2")
+    assert f[1]["donor"] == 1.0  # 1 implicit H -> not H0
+    assert f[1]["hydrophobic"] == 1.0  # S^3 alternative, H-independent
+    # Saturated control: divalent S.3 gets no implicit H and stays H0.
+    _, f2 = _feat(tmp_path, """\
+        @<TRIPOS>MOLECULE
+        thioether
+        3 2 1
+        SMALL
+        GASTEIGER
+        @<TRIPOS>ATOM
+          1 C1  0.000  0.000  0.000 C.3 1 THE  0.00
+          2 S1  1.800  0.000  0.000 S.3 1 THE -0.20
+          3 C2  3.600  0.000  0.000 C.3 1 THE  0.00
+        @<TRIPOS>BOND
+          1 1 2 1
+          2 2 3 1
+        """, name="thioether.mol2")
+    assert f2[1]["donor"] == 0.0  # H0: no implicit H on divalent S.3
+    assert f2[1]["hydrophobic"] == 1.0
+    # Isolated atoms are ions, not hydrides: bare F gains no implicit H so
+    # the !H0 donor alternative cannot fire (registry: uncertain vs OB).
+    _, f3 = _feat(tmp_path, """\
+        @<TRIPOS>MOLECULE
+        fluoride
+        1 0 1
+        SMALL
+        GASTEIGER
+        @<TRIPOS>ATOM
+          1 F1  0.000  0.000  0.000 F 1 FLU -0.90
+        """, name="fluoride.mol2")
+    assert f3[0]["donor"] == 0.0
+
+
+def test_featurizer_n4_type_formal_charge(tmp_path):
+    """SYBYL N.4 is +1 by definition: even an under-protonated ammonium
+    (3 heavy bonds, no H in the file) hits the *+1 acceptor exclusion, and
+    the implicit H the charge-adjusted valence ladder adds makes it a
+    donor — both matching OpenBabel."""
+    _, f = _feat(tmp_path, """\
+        @<TRIPOS>MOLECULE
+        n4_unprot
+        4 3 1
+        SMALL
+        GASTEIGER
+        @<TRIPOS>ATOM
+          1 N1  0.000  0.000  0.000 N.4 1 AMM  0.30
+          2 C1  1.500  0.000  0.000 C.3 1 AMM -0.10
+          3 C2 -1.500  0.000  0.000 C.3 1 AMM -0.10
+          4 C3  0.000  1.500  0.000 C.3 1 AMM -0.10
+        @<TRIPOS>BOND
+          1 1 2 1
+          2 1 3 1
+          3 1 4 1
+        """)
+    assert f[0]["acceptor"] == 0.0  # *+1 exclusion via the N.4 type
+    assert f[0]["donor"] == 1.0  # one implicit H fills the +1 ladder (4)
 
 
 def test_parse_pdb_and_rms(tmp_path):

@@ -48,10 +48,14 @@ def check_divergences(reference_root: str) -> int:
     entries into golden rows."""
     import tempfile
 
-    from pamnet_tpu.data.featurizer_divergences import EXPECTED_DIVERGENCES
+    from pamnet_tpu.data.featurizer_divergences import (
+        EXPECTED_DIVERGENCES,
+        VERIFIED_MATCHES,
+    )
 
+    entries = EXPECTED_DIVERGENCES + VERIFIED_MATCHES
     failures = 0
-    for d in EXPECTED_DIVERGENCES:
+    for d in entries:
         with tempfile.NamedTemporaryFile("w", suffix=".mol2", delete=False) as f:
             f.write(d.mol2)
             path = f.name
@@ -76,7 +80,7 @@ def check_divergences(reference_root: str) -> int:
               f" -> {status}")
         if not (ok_ours and ok_ref):
             failures += 1
-    print(f"\n{len(EXPECTED_DIVERGENCES) - failures}/{len(EXPECTED_DIVERGENCES)}"
+    print(f"\n{len(entries) - failures}/{len(entries)}"
           f" registry entries confirmed")
     return 1 if failures else 0
 
