@@ -158,9 +158,20 @@ def bench_qm9():
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     mols = synthetic_qm9_dataset(n_mols, seed=480)
+    # balanced_batches: frozen LPT-packed composition + pads pinned to the
+    # plan's true maxima instead of the any-shuffle worst-case bucket
+    # (+52% same-process at this recipe — the step is HBM-bound on padded
+    # edge gathers and the worst-case bucket pads 1.4-1.8x more rows than
+    # real batches fill; tools/tpu_ab.py planpads).  Same batch size, same
+    # math, every molecule once per epoch; epochs reshuffle batch order
+    # only (the same documented divergence as --device_data).  The
+    # reference pays no padding at all (dense per-batch tensors), so
+    # plan-true pads move the measured workload CLOSER to the reference's.
+    # PAMNET_BENCH_PADS=worstcase restores the any-shuffle bucket.
+    balanced = os.environ.get("PAMNET_BENCH_PADS", "balanced") != "worstcase"
     loader = GraphLoader(mols, "qm9", cfg.cutoff_l, cfg.cutoff_g,
                          batch_size=batch_size, shuffle=False, drop_last=True,
-                         variant=variant)
+                         variant=variant, balanced_batches=balanced)
     print(f"pads: {loader.pads}", file=sys.stderr)
 
     # Prebuild + stage a handful of distinct batches on device: measures the

@@ -64,6 +64,10 @@ def main():
                         help='Data-parallel devices (0 = single device)')
     parser.add_argument('--scan_steps', type=int, default=1,
                         help='Optimizer steps per device dispatch')
+    parser.add_argument('--balanced_batches', action='store_true',
+                        help='Freeze batch composition via size packing and '
+                             'pin pads to the plan maxima (epochs reshuffle '
+                             'batch order only; see main_qm9.py)')
     parser.add_argument('--device_data', action='store_true',
                         help='Stage the whole padded train split in device '
                              'HBM once; each epoch is one dispatch (batch '
@@ -117,7 +121,8 @@ def main():
                   cache_dir=args.structure_cache or None,
                   cutoff_g=cfg.cutoff_g)
     train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
-                               shuffle=True, seed=args.seed, **common)
+                               shuffle=True, seed=args.seed,
+                               balanced_batches=args.balanced_batches, **common)
     val_loader = GraphLoader(val_mols, batch_size=args.batch_size, **common)
     test_loader = GraphLoader(core, batch_size=args.batch_size, **common)
 

@@ -116,6 +116,17 @@ def main():
                              'models.py:110; for dynamic-geometry uses — the '
                              'host-precomputed path is faster for static '
                              'positions)')
+    parser.add_argument('--balanced_batches', action='store_true',
+                        help='Freeze batch composition via LPT size packing '
+                             'and pin the padding bucket to the plan\'s true '
+                             'maxima instead of the any-shuffle worst case '
+                             '(+52%% step throughput at the headline recipe: '
+                             'the worst-case bucket pads 1.4-1.8x more rows '
+                             'than real batches use, and the step is '
+                             'HBM-bound on padded edge gathers). Epochs '
+                             'reshuffle batch ORDER only — the same '
+                             'composition-vs-reference divergence as '
+                             '--device_data (which it composes with)')
     parser.add_argument('--structure_cache', type=str, default='',
                         help='Directory for the on-disk precomputed-structure '
                              'cache (content-addressed, resumable; '
@@ -189,14 +200,18 @@ def main():
     dp = max(args.dp, 0)
     t_load = time.time()
     train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
-                               shuffle=True, seed=args.seed, drop_last=True, **common)
+                               shuffle=True, seed=args.seed, drop_last=True,
+                               balanced_batches=args.balanced_batches, **common)
     # Chain pads train -> val -> test: explicit pads are a MINIMUM bucket
     # (each loader widens over its own worst case — e.g. an eval split whose
     # max aggregation-group size exceeds the train split's by 1 under the
     # exact ELL widths), and chaining keeps the two eval splits on ONE
-    # compiled shape unless test strictly exceeds val.
-    val_loader = GraphLoader(val_mols, batch_size=args.batch_size, pads=train_loader.pads, **common)
-    test_loader = GraphLoader(test_mols, batch_size=args.batch_size, pads=val_loader.pads, **common)
+    # compiled shape unless test strictly exceeds val.  Eval composition is
+    # deterministic (no shuffle), so plan-pinned pads are always exact there.
+    val_loader = GraphLoader(val_mols, batch_size=args.batch_size, pads=train_loader.pads,
+                             plan_pads=args.balanced_batches, **common)
+    test_loader = GraphLoader(test_mols, batch_size=args.batch_size, pads=val_loader.pads,
+                              plan_pads=args.balanced_batches, **common)
     print(f"Data loaded! train={len(train_mols)} val={len(val_mols)} "
           f"test={len(test_mols)} pads={train_loader.pads} "
           f"({time.time() - t_load:.1f}s structure build)")

@@ -59,6 +59,10 @@ def main():
     parser.add_argument('--platform', type=str, default='auto')
     parser.add_argument('--dp', type=int, default=0,
                         help='Data-parallel devices (0 = single device)')
+    parser.add_argument('--balanced_batches', action='store_true',
+                        help='Freeze batch composition via size packing and '
+                             'pin pads to the plan maxima (epochs reshuffle '
+                             'batch order only; see main_qm9.py)')
     parser.add_argument('--device_data', action='store_true',
                         help='Stage the whole padded train split in device '
                              'HBM once; each epoch is one dispatch (batch '
@@ -115,7 +119,8 @@ def main():
     common = dict(dataset_kind='rna', cutoff_l=cfg.cutoff_l, cutoff_g=cfg.cutoff_g,
                   cache_dir=args.structure_cache or None)
     train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
-                               shuffle=True, seed=args.seed, **common)
+                               shuffle=True, seed=args.seed,
+                               balanced_batches=args.balanced_batches, **common)
     val_loader = GraphLoader(val_mols, batch_size=args.batch_size,
                              pads=None, **common)
 

@@ -46,6 +46,23 @@ class GraphLoader:
         intended for inference.  Keep False for shard_map DP (uniform
         shapes across shards) and scan-block training (uniform shapes
         along the scan axis).
+      plan_pads: FREEZE the batch composition at construction and pin the
+        pads to the maxima over the planned batches, instead of the
+        adversarial "sum of the batch_size largest molecules" bound that
+        must cover every possible shuffle.  Real batch sums concentrate
+        (32 random molecules ≈ batch_size * mean), so the worst-case bound
+        wastes 1.4-1.8x in padded rows at the QM9 recipe — rows the
+        HBM-bound edge gathers pay for.  With ``shuffle=True`` the frozen
+        plan is one seeded permutation; epochs reshuffle the batch ORDER
+        only (the same documented composition-vs-reference divergence as
+        ``DeviceDataTrainer``, train/loop.py).  Shapes stay uniform across
+        batches, so scan blocks and shard_map DP remain valid.
+      balanced_batches: build the frozen plan by LPT greedy packing on
+        mean-normalized counts (largest molecules first, each to the
+        currently-lightest batch), minimizing the worst batch sums —
+        tightens plan pads toward batch_size * mean.  Implies
+        ``plan_pads``.  Composition is then size-driven rather than
+        random; per-epoch ORDER shuffling still applies.
     """
 
     def __init__(
@@ -62,6 +79,8 @@ class GraphLoader:
         strict_pads: bool = False,
         drop_last: bool = False,
         ladder_pads: bool = False,
+        plan_pads: bool = False,
+        balanced_batches: bool = False,
         align: int = 128,
         build_tables: bool = True,
         precompute_basis: bool = True,
@@ -106,7 +125,12 @@ class GraphLoader:
                 for s in self.structs:
                     attach_basis(s, cutoff_l, num_spherical, num_radial,
                                  envelope_exponent)
+        self.plan_pads = plan_pads or balanced_batches
+        self.balanced_batches = balanced_batches
         own = self._worst_case_pads(align)
+        if self.plan_pads:
+            self._fixed_plan = self._build_plan()
+            own = self._plan_max_pads(own, align)
         if pads is None:
             pads = own
         else:
@@ -170,6 +194,69 @@ class GraphLoader:
             k1_ji=int(ks[6]), k1_jj=int(ks[7]),
         )
 
+    def _build_plan(self) -> "list[list[int]]":
+        """Frozen batch composition for ``plan_pads``: a seeded shuffle (or
+        identity) chunked into batches, or LPT greedy packing when
+        ``balanced_batches`` — sort molecules by mean-normalized total count
+        descending, place each into the least-loaded non-full batch."""
+        m = len(self.structs)
+        nb = m // self.batch_size if self.drop_last else -(-m // self.batch_size)
+        nb = max(nb, 1)
+        if not self.balanced_batches:
+            order = (
+                self._rng.permutation(m) if self.shuffle else np.arange(m)
+            )
+            plan = [
+                order[i : i + self.batch_size].tolist()
+                for i in range(0, len(order), self.batch_size)
+            ]
+            if self.drop_last and len(plan[-1]) < self.batch_size:
+                plan.pop()
+            return plan
+        c = self._counts.astype(np.float64)
+        cost = (c / np.maximum(c.mean(axis=0), 1e-9)).sum(axis=1)
+        loads = np.zeros(nb)
+        fill = np.zeros(nb, dtype=np.int64)
+        plan = [[] for _ in range(nb)]
+        cap = self.batch_size
+        if self.drop_last and nb * cap < m:
+            # Drop a RANDOM remainder (dropping the cheapest molecules
+            # would bias the kept set toward large ones).
+            keep = self._rng.choice(m, nb * cap, replace=False)
+            mask = np.zeros(m, dtype=bool)
+            mask[keep] = True
+            cost = np.where(mask, cost, -np.inf)
+            kept = np.argsort(-cost)[: nb * cap]
+        else:
+            kept = np.argsort(-cost)
+        for i in kept:
+            open_ = np.where(fill < cap)[0]
+            b = open_[np.argmin(loads[open_])]
+            plan[b].append(int(i))
+            loads[b] += cost[i]
+            fill[b] += 1
+        return plan
+
+    def _plan_max_pads(self, worst: PadSizes, align: int) -> PadSizes:
+        """Pads pinned to the frozen plan's actual per-batch maxima (ELL
+        widths stay the dataset-wide maxima from ``worst``)."""
+        import dataclasses as _dc
+
+        sums = np.stack(
+            [self._counts[idxs].sum(axis=0) for idxs in self._fixed_plan]
+        )
+        n, eg, el, t2, t1 = sums.max(axis=0)
+        base = PadSizes.for_counts(
+            int(n), max(int(eg), 1), max(int(el), 1), max(int(t2), 1),
+            max(int(t1), 1), self.batch_size, align=align,
+        )
+        return _dc.replace(
+            worst,
+            n=min(base.n, worst.n), eg=min(base.eg, worst.eg),
+            el=min(base.el, worst.el), t2=min(base.t2, worst.t2),
+            t1=min(base.t1, worst.t1), g=min(base.g, worst.g),
+        )
+
     def __len__(self) -> int:
         n = len(self.structs)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
@@ -178,6 +265,13 @@ class GraphLoader:
         return len(self.structs)
 
     def batches(self) -> "list[list[int]]":
+        if self.plan_pads:
+            # Frozen composition (the pads are pinned to it); per-epoch
+            # shuffling permutes batch ORDER only, like DeviceDataTrainer.
+            plan = self._fixed_plan
+            if self.shuffle:
+                plan = [plan[i] for i in self._rng.permutation(len(plan))]
+            return [list(b) for b in plan]
         order = np.arange(len(self.structs))
         if self.shuffle:
             order = self._rng.permutation(order)

@@ -167,3 +167,77 @@ def test_ladder_pads_shrink_tail_and_match_fixed(rng):
                                       cfg))[:nl])
     np.testing.assert_allclose(np.concatenate(preds_l),
                                np.concatenate(preds_f), rtol=2e-5, atol=2e-6)
+
+
+def test_plan_pads_fixed_composition_and_coverage(rng):
+    """plan_pads: pads pinned to the frozen plan's maxima (never larger
+    than worst case), composition identical across epochs (order may
+    shuffle), every molecule covered exactly once."""
+    mols = _mols(rng, 37)
+    worst = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=8, align=8)
+    plan = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=8, align=8,
+                       plan_pads=True, shuffle=True, seed=3)
+    for d in ("n", "eg", "el", "t2", "t1"):
+        assert getattr(plan.pads, d) <= getattr(worst.pads, d)
+    # ELL widths stay the dataset-global maxima.
+    for d in ("kg_dst", "kg_src", "k2_ji", "k1_jj"):
+        assert getattr(plan.pads, d) == getattr(worst.pads, d)
+    e1 = plan.batches()
+    e2 = plan.batches()
+    comp1 = sorted(tuple(sorted(b)) for b in e1)
+    comp2 = sorted(tuple(sorted(b)) for b in e2)
+    assert comp1 == comp2  # composition frozen
+    assert sorted(i for b in e1 for i in b) == list(range(37))
+    n_graphs = sum(int(gb.graph_mask.sum()) for gb in plan)
+    assert n_graphs == 37
+
+
+def test_balanced_batches_tighten_pads_and_preserve_outputs(rng):
+    """balanced_batches: LPT packing lowers (or matches) the plan maxima vs
+    the sequential plan, covers every molecule, and per-graph model outputs
+    equal the unbalanced loader's (same molecules, different grouping)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pamnet_tpu.config import PAMNetConfig
+    from pamnet_tpu.models import apply_pamnet, init_pamnet
+
+    mols = _mols(rng, 32)
+    seq = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=8, align=8,
+                      build_tables=False)
+    bal = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=8, align=8,
+                      build_tables=False, balanced_batches=True)
+    for d in ("n", "eg", "el", "t2", "t1"):
+        assert getattr(bal.pads, d) <= getattr(seq.pads, d)
+    order = [i for b in bal.batches() for i in b]
+    assert sorted(order) == list(range(32))
+
+    cfg = PAMNetConfig(dataset="QM9", dim=16, n_layer=1, cutoff_l=5.0,
+                       cutoff_g=5.0)
+    params = init_pamnet(jax.random.PRNGKey(0), cfg)
+    run = jax.jit(apply_pamnet, static_argnums=2)
+
+    def scores(loader):
+        out = {}
+        for idxs, gb in zip(loader.batches(), loader):
+            pred = np.asarray(run(params, jax.tree.map(jnp.asarray, gb), cfg))
+            for k, i in enumerate(idxs):
+                out[i] = pred[k]
+        return np.array([out[i] for i in range(32)])
+
+    np.testing.assert_allclose(scores(bal), scores(seq), rtol=2e-5, atol=2e-6)
+
+
+def test_balanced_drop_last_drops_random_not_smallest(rng):
+    """drop_last + balanced_batches must not bias the kept set toward large
+    molecules: over several seeds, at least one smallest-quartile molecule
+    survives in every plan (dropping by cost would always drop them)."""
+    mols = _mols(rng, 19)  # batch_size 4 -> 4 batches of 4, 3 dropped
+    sizes = np.array([len(m["z"]) for m in mols])
+    small = set(np.argsort(sizes)[:5].tolist())
+    for seed in range(4):
+        ld = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=4, align=8,
+                         balanced_batches=True, drop_last=True, seed=seed)
+        kept = {i for b in ld.batches() for i in b}
+        assert len(kept) == 16
+        assert kept & small, "smallest molecules always dropped -> biased"
