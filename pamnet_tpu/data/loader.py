@@ -213,10 +213,10 @@ class GraphLoader:
             if self.drop_last and len(plan[-1]) < self.batch_size:
                 plan.pop()
             return plan
+        import heapq
+
         c = self._counts.astype(np.float64)
         cost = (c / np.maximum(c.mean(axis=0), 1e-9)).sum(axis=1)
-        loads = np.zeros(nb)
-        fill = np.zeros(nb, dtype=np.int64)
         plan = [[] for _ in range(nb)]
         cap = self.batch_size
         if self.drop_last and nb * cap < m:
@@ -229,12 +229,16 @@ class GraphLoader:
             kept = np.argsort(-cost)[: nb * cap]
         else:
             kept = np.argsort(-cost)
+        # LPT via a heap of (load, batch): pop the lightest batch, place the
+        # next-largest molecule, push back unless full — O(M log nb), which
+        # matters at the 110k+ scale (the naive argmin-per-molecule scan is
+        # O(M * nb)).
+        heap = [(0.0, b) for b in range(nb)]
         for i in kept:
-            open_ = np.where(fill < cap)[0]
-            b = open_[np.argmin(loads[open_])]
+            load, b = heapq.heappop(heap)
             plan[b].append(int(i))
-            loads[b] += cost[i]
-            fill[b] += 1
+            if len(plan[b]) < cap:
+                heapq.heappush(heap, (load + float(cost[i]), b))
         return plan
 
     def _plan_max_pads(self, worst: PadSizes, align: int) -> PadSizes:
