@@ -40,8 +40,11 @@ def run_and_trace(trace_dir: str, compute_dtype: str = "float32",
     cfg = PAMNetConfig(dataset="QM9", dim=128, n_layer=6, cutoff_l=5.0,
                        cutoff_g=5.0, compute_dtype=compute_dtype)
     mols = synthetic_qm9_dataset(8 * bs, seed=480)
+    # PAMNET_PROFILE_PADS=worstcase traces the any-shuffle bucket; default
+    # matches the bench config (balanced plan-pinned pads).
+    balanced = os.environ.get("PAMNET_PROFILE_PADS", "balanced") != "worstcase"
     loader = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=bs, shuffle=False,
-                         drop_last=True)
+                         drop_last=True, balanced_batches=balanced)
     batches = [jax.tree.map(lambda x: jax.device_put(jnp.asarray(x)), gb)
                for gb in loader]
     stacked = stack_microbatches(batches)
