@@ -73,6 +73,16 @@ def main():
                              'HBM once; each epoch is one dispatch (batch '
                              'order reshuffled per epoch; incompatible '
                              'with --dp)')
+    parser.add_argument('--save_dir', type=str, default='',
+                        help='Save the best-val full train state to '
+                             '<save_dir>/PDBbind/best_model.msgpack (the '
+                             'reference driver saves nothing, so this is '
+                             'off by default)')
+    parser.add_argument('--resume', type=str, default='',
+                        help='Checkpoint to resume full train state from '
+                             '(params+optimizer+step)')
+    parser.add_argument('--metrics_csv', type=str, default='',
+                        help='Append per-epoch metrics to this CSV file')
     args = parser.parse_args()
 
     set_seed(args.seed)
@@ -135,6 +145,11 @@ def main():
         weight_decay=args.wd,
     )
     state = init_train_state(params, optimizer, use_ema=False)
+    if args.resume:
+        from pamnet_tpu.train.checkpoint import load_checkpoint
+        state = load_checkpoint(args.resume, state)
+        print(f"Resumed full train state from {args.resume} "
+              f"at step {int(state.step)}")
     runner = EpochRunner(cfg, optimizer, "mse", ema_decay=None, dp=dp,
                          scan_steps=args.scan_steps)
     eval_run = make_multistep_eval(cfg)
@@ -154,6 +169,21 @@ def main():
     val_eval = StackedEval(eval_run, val_loader, to_device)
     test_eval = StackedEval(eval_run, test_loader, to_device)
 
+    save_folder = None
+    if args.save_dir:
+        from pamnet_tpu.train.checkpoint import save_checkpoint
+        save_folder = osp.join('.', args.save_dir, 'PDBbind')
+        os.makedirs(save_folder, exist_ok=True)
+    from pamnet_tpu.utils.profiling import CSVLogger
+
+    metrics_log = (
+        CSVLogger(args.metrics_csv,
+                  ["epoch", "train_rmse", "train_mae", "train_sd",
+                   "train_pearson", "test_rmse", "test_mae", "test_sd",
+                   "test_pearson", "seconds"])
+        if args.metrics_csv else None
+    )
+
     print("Start training!")
     best_val_rmse = None
     test_metrics = (float('nan'),) * 4
@@ -168,11 +198,24 @@ def main():
         if best_val_rmse is None or val_m[0] < best_val_rmse:
             test_metrics = test_eval(state.params)
             best_val_rmse = val_m[0]
+            if save_folder is not None:
+                save_checkpoint(osp.join(save_folder, 'best_model.msgpack'),
+                                state)
+        dt = time.time() - t0
         print(f'Epoch: {epoch+1:03d}, Train RMSE: {train_m[0]:.7f}, '
               f'Train MAE: {train_m[1]:.7f}, Train SD: {train_m[2]:.7f}, '
               f'Train P: {train_m[3]:.7f}, Test RMSE: {test_metrics[0]:.7f}, '
               f'Test MAE: {test_metrics[1]:.7f}, Test SD: {test_metrics[2]:.7f}, '
-              f'Test P: {test_metrics[3]:.7f} ({time.time()-t0:.1f}s)')
+              f'Test P: {test_metrics[3]:.7f} ({dt:.1f}s)')
+        if metrics_log:
+            metrics_log.log(epoch=epoch + 1, train_rmse=train_m[0],
+                            train_mae=train_m[1], train_sd=train_m[2],
+                            train_pearson=train_m[3],
+                            test_rmse=test_metrics[0],
+                            test_mae=test_metrics[1],
+                            test_sd=test_metrics[2],
+                            test_pearson=test_metrics[3],
+                            seconds=round(dt, 2))
 
     print('Testing RMSE:', test_metrics[0])
     print('Testing MAE:', test_metrics[1])

@@ -78,6 +78,14 @@ def main():
                         help='Activation dtype for the message-passing stack')
     parser.add_argument('--precision', type=str, default='float32',
                         choices=['default', 'float32'])
+    parser.add_argument('--save_dir', type=str, default='save',
+                        help='Directory for the best-val checkpoint '
+                             '(pamnet_rna_best.msgpack)')
+    parser.add_argument('--resume', type=str, default='',
+                        help='Checkpoint to resume full train state from '
+                             '(params+optimizer+step)')
+    parser.add_argument('--metrics_csv', type=str, default='',
+                        help='Append per-epoch metrics to this CSV file')
     args = parser.parse_args()
 
     set_seed(args.seed)
@@ -128,6 +136,11 @@ def main():
     print("Number of model parameters:", count_parameters(params))
     optimizer = make_optimizer(constant(args.lr), weight_decay=args.wd)
     state = init_train_state(params, optimizer, use_ema=False)
+    if args.resume:
+        from pamnet_tpu.train.checkpoint import load_checkpoint
+        state = load_checkpoint(args.resume, state)
+        print(f"Resumed full train state from {args.resume} "
+              f"at step {int(state.step)}")
     runner = EpochRunner(cfg, optimizer, "smooth_l1", ema_decay=None,
                          dp=max(args.dp, 0), scan_steps=args.scan_steps)
     from pamnet_tpu.train.loop import make_multistep_eval
@@ -148,7 +161,15 @@ def main():
     train_eval = StackedEval(eval_run, train_loader, to_device)
     val_eval = StackedEval(eval_run, val_loader, to_device)
 
-    os.makedirs(osp.join('.', 'save'), exist_ok=True)
+    save_dir = osp.join('.', args.save_dir)
+    os.makedirs(save_dir, exist_ok=True)
+    from pamnet_tpu.utils.profiling import CSVLogger
+
+    metrics_log = (
+        CSVLogger(args.metrics_csv,
+                  ["epoch", "train_loss", "val_loss", "seconds"])
+        if args.metrics_csv else None
+    )
     print("Start training!")
     best_val_loss = None
     for epoch in range(args.epochs):
@@ -159,11 +180,15 @@ def main():
             state, _, _, _ = runner.run(state, train_loader.prefetch(), to_device)
         train_loss, _ = train_eval(state.params)
         val_loss, _ = val_eval(state.params)
+        dt = time.time() - t0
         print(f'Epoch: {epoch+1:03d}, Train Loss: {train_loss:.7f}, '
-              f'Val Loss: {val_loss:.7f} ({time.time()-t0:.1f}s)')
+              f'Val Loss: {val_loss:.7f} ({dt:.1f}s)')
+        if metrics_log:
+            metrics_log.log(epoch=epoch + 1, train_loss=train_loss,
+                            val_loss=val_loss, seconds=round(dt, 2))
         if best_val_loss is None or val_loss < best_val_loss:
             best_val_loss = val_loss
-            save_checkpoint(osp.join('.', 'save', 'pamnet_rna_best.msgpack'), state)
+            save_checkpoint(osp.join(save_dir, 'pamnet_rna_best.msgpack'), state)
 
 
 if __name__ == "__main__":

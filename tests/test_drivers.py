@@ -44,15 +44,22 @@ def test_main_rna_puzzles_smoke(tmp_path, rng):
     root = str(tmp_path / "data" / "RNA-Puzzles")
     write_tu_dataset(root, "train", _rna_graphs(rng, 6))
     write_tu_dataset(root, "val", _rna_graphs(rng, 3))
-    r = _run(
-        [os.path.join(REPO, "main_rna_puzzles.py"), "--platform", "cpu", "--epochs", "1",
-         "--dim", "8", "--n_layer", "1", "--batch_size", "4",
-         "--data_root", root],
-        cwd=str(tmp_path),
-    )
+    common = [os.path.join(REPO, "main_rna_puzzles.py"), "--platform", "cpu",
+              "--epochs", "1", "--dim", "8", "--n_layer", "1",
+              "--batch_size", "4", "--data_root", root]
+    r = _run(common + ["--metrics_csv", "metrics.csv"], cwd=str(tmp_path))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Epoch: 001" in r.stdout
-    assert os.path.exists(tmp_path / "save" / "pamnet_rna_best.msgpack")
+    ckpt = tmp_path / "save" / "pamnet_rna_best.msgpack"
+    assert ckpt.exists()
+    with open(tmp_path / "metrics.csv") as f:
+        header, row = f.read().strip().splitlines()
+    assert header.split(",") == ["epoch", "train_loss", "val_loss", "seconds"]
+    assert row.startswith("1,")
+    # Resume from the saved full train state.
+    r2 = _run(common + ["--resume", str(ckpt)], cwd=str(tmp_path))
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "Resumed full train state" in r2.stdout
 
 
 def _pdbbind_graphs(rng, n_graphs):
@@ -70,14 +77,23 @@ def test_main_pdbbind_smoke(tmp_path, rng):
     root = str(tmp_path / "data" / "PDBbind")
     write_tu_dataset(root, "train_val", _pdbbind_graphs(rng, 8))
     write_tu_dataset(root, "test", _pdbbind_graphs(rng, 3))
-    r = _run(
-        [os.path.join(REPO, "main_pdbbind.py"), "--platform", "cpu", "--epochs", "1",
-         "--dim", "8", "--n_layer", "1", "--batch_size", "4",
-         "--data_root", root],
-        cwd=str(tmp_path),
-    )
+    common = [os.path.join(REPO, "main_pdbbind.py"), "--platform", "cpu",
+              "--epochs", "1", "--dim", "8", "--n_layer", "1",
+              "--batch_size", "4", "--data_root", root]
+    r = _run(common + ["--save_dir", "save", "--metrics_csv", "metrics.csv"],
+             cwd=str(tmp_path))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Testing RMSE" in r.stdout
+    # Opt-in checkpointing (the reference PDBbind driver saves nothing).
+    ckpt = tmp_path / "save" / "PDBbind" / "best_model.msgpack"
+    assert ckpt.exists()
+    with open(tmp_path / "metrics.csv") as f:
+        header, row = f.read().strip().splitlines()
+    assert header.split(",")[:2] == ["epoch", "train_rmse"]
+    assert row.startswith("1,")
+    r2 = _run(common + ["--resume", str(ckpt)], cwd=str(tmp_path))
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "Resumed full train state" in r2.stdout
 
 
 def test_main_qm9_smoke_and_resume(tmp_path):
