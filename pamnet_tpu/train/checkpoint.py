@@ -118,6 +118,62 @@ def load_torch_checkpoint(path: str) -> dict:
     return torch_to_params(load_torch_state_dict(path))
 
 
+def params_to_torch(params: dict) -> dict[str, np.ndarray]:
+    """Inverse of :func:`torch_to_params`: map a pamnet_tpu parameter pytree
+    onto the reference's ``state_dict`` key layout (models.py:22-56,
+    global_message_passing.py:14-26, local_message_passing.py:14-29), so
+    models trained here load into the reference implementation.  Weight
+    matrices transpose back to torch's (out, in) Linear convention; non-f32
+    floats (bf16 training states) are cast to f32, the reference's dtype."""
+    out: dict[str, np.ndarray] = {}
+
+    def emit(key: str, value, transpose: bool = False):
+        arr = np.asarray(value)
+        if transpose:
+            arr = arr.T
+        if arr.dtype != np.float32 and np.issubdtype(arr.dtype, np.floating):
+            arr = arr.astype(np.float32)
+        out[key] = np.ascontiguousarray(arr)
+
+    def emit_mlp(prefix: str, stages):
+        for i, lin in enumerate(stages):
+            emit(f"{prefix}.{i}.0.weight", lin["w"], transpose=True)
+            if "b" in lin:
+                emit(f"{prefix}.{i}.0.bias", lin["b"])
+
+    def walk(container: dict, prefix: str):
+        for name, value in container.items():
+            key = prefix + name
+            if name in ("embeddings", "W"):
+                emit(key, value)
+            elif name in ("rbf_g", "rbf_l"):
+                emit(key + ".freq", value["freq"])
+            elif name in _LINEAR_NAMES:
+                emit(key + ".weight", value["w"], transpose=True)
+                if "b" in value:
+                    emit(key + ".bias", value["b"])
+            elif name in _MLP_NAMES:
+                emit_mlp(key, value)
+            elif name in ("res1", "res2", "res3"):
+                emit_mlp(key + ".mlp", value["mlp"])
+            elif name in ("global_layers", "local_layers"):
+                for i, layer in enumerate(value):
+                    walk(layer, f"{name[:-1]}.{i}.")
+            else:
+                raise KeyError(f"unrecognized pamnet_tpu parameter: {key}")
+
+    walk(params, "")
+    return out
+
+
+def save_torch_checkpoint(path: str, params: dict) -> None:
+    """Write a pamnet_tpu parameter pytree as a reference-compatible
+    ``torch.save`` state_dict archive (first-party writer, no torch)."""
+    from pamnet_tpu.utils.torchpickle import save_torch_pickle
+
+    save_torch_pickle(path, params_to_torch(params))
+
+
 # ---------------------------------------------------------------------------
 # Native train-state checkpoints (full resume capability)
 # ---------------------------------------------------------------------------

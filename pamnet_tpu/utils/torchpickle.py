@@ -1,4 +1,5 @@
-"""First-party reader for ``torch.save`` artifacts — no torch at runtime.
+"""First-party reader AND writer for ``torch.save`` artifacts — no torch
+at runtime.
 
 Handles both on-disk formats:
 
@@ -252,3 +253,107 @@ def load_torch_pickle(path: str) -> object:
         return _read_zip(path)
     with open(path, "rb") as f:
         return _read_legacy(f)
+
+
+# ---------------------------------------------------------------------------
+# Writer: state_dict of numpy arrays -> torch.save zip archive
+# ---------------------------------------------------------------------------
+
+_STORAGE_NAMES = {np.dtype(v): k for k, v in _DTYPES.items()}
+
+
+def _pk_int(n: int) -> bytes:
+    """Pickle an int (BININT1/BININT2/BININT/LONG1)."""
+    if 0 <= n < 256:
+        return b"K" + bytes([n])
+    if 0 <= n < 65536:
+        return b"M" + struct.pack("<H", n)
+    if -2**31 <= n < 2**31:
+        return b"J" + struct.pack("<i", n)
+    enc = n.to_bytes((n.bit_length() + 8) // 8, "little", signed=True)
+    return b"\x8a" + bytes([len(enc)]) + enc
+
+
+def _pk_str(s: str) -> bytes:
+    """Pickle a str (BINUNICODE)."""
+    raw = s.encode("utf-8")
+    return b"X" + struct.pack("<I", len(raw)) + raw
+
+
+def _pk_tuple(items: list[bytes]) -> bytes:
+    """Pickle a tuple from already-pickled element payloads."""
+    if not items:
+        return b")"  # EMPTY_TUPLE
+    if len(items) == 1:
+        return items[0] + b"\x85"  # TUPLE1
+    if len(items) == 2:
+        return b"".join(items) + b"\x86"  # TUPLE2
+    if len(items) == 3:
+        return b"".join(items) + b"\x87"  # TUPLE3
+    return b"(" + b"".join(items) + b"t"  # MARK ... TUPLE
+
+
+def _pk_global(module: str, name: str) -> bytes:
+    return f"c{module}\n{name}\n".encode("ascii")
+
+
+_EMPTY_ORDERED_DICT = _pk_global("collections", "OrderedDict") + b")R"
+
+
+def save_torch_pickle(path: str, state_dict: dict) -> None:
+    """Write ``state_dict`` (str -> numpy array) as a ``torch.save``-format
+    zip archive readable by ``torch.load`` (including
+    ``weights_only=True``) and by :func:`load_torch_pickle` — without
+    importing torch.  The pickle stream references only
+    ``torch._utils._rebuild_tensor_v2``, ``torch.<Dtype>Storage`` and
+    ``collections.OrderedDict``, exactly like a real ``torch.save`` of a
+    model ``state_dict`` (the reference's checkpoint format,
+    inference_rna_puzzles.py:56)."""
+    storages: list[bytes] = []
+    body = bytearray()
+    body += b"\x80\x02"  # PROTO 2
+    body += _EMPTY_ORDERED_DICT
+    body += b"("  # MARK for SETITEMS
+    for key, value in state_dict.items():
+        arr = np.ascontiguousarray(value)
+        sname = _STORAGE_NAMES.get(arr.dtype.newbyteorder("<"))
+        if sname is None:
+            raise TypeError(f"{key}: no torch storage for dtype {arr.dtype}")
+        skey = str(len(storages))
+        storages.append(arr.tobytes())
+        pid = _pk_tuple([
+            _pk_str("storage"),
+            _pk_global("torch", sname),
+            _pk_str(skey),
+            _pk_str("cpu"),
+            _pk_int(arr.size),
+        ])
+        size = _pk_tuple([_pk_int(d) for d in arr.shape])
+        # C-contiguous strides in elements.
+        strides, acc = [], 1
+        for d in reversed(arr.shape):
+            strides.append(acc)
+            acc *= d
+        stride = _pk_tuple([_pk_int(s) for s in reversed(strides)])
+        args = _pk_tuple([
+            pid + b"Q",  # BINPERSID
+            _pk_int(0),  # storage_offset
+            size,
+            stride,
+            b"\x89",  # NEWFALSE (requires_grad)
+            _EMPTY_ORDERED_DICT,  # backward_hooks
+        ])
+        body += _pk_str(key)
+        body += _pk_global("torch._utils", "_rebuild_tensor_v2") + args + b"R"
+    body += b"u."  # SETITEMS, STOP
+
+    tmp = path + ".tmp"
+    dirname = os.path.dirname(os.path.abspath(path))
+    os.makedirs(dirname, exist_ok=True)
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr("archive/data.pkl", bytes(body))
+        zf.writestr("archive/version", "3\n")
+        zf.writestr("archive/byteorder", "little")
+        for i, data in enumerate(storages):
+            zf.writestr(f"archive/data/{i}", data)
+    os.replace(tmp, path)
