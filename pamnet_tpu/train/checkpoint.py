@@ -123,15 +123,17 @@ def params_to_torch(params: dict) -> dict[str, np.ndarray]:
     onto the reference's ``state_dict`` key layout (models.py:22-56,
     global_message_passing.py:14-26, local_message_passing.py:14-29), so
     models trained here load into the reference implementation.  Weight
-    matrices transpose back to torch's (out, in) Linear convention; non-f32
-    floats (bf16 training states) are cast to f32, the reference's dtype."""
+    matrices transpose back to torch's (out, in) Linear convention.
+    Sub-f32 floats (bf16/f16 training states) are upcast to f32, the
+    reference's dtype; f32/f64 pass through unchanged (no silent
+    downcast — same rule as ops/ell.py's accumulation dtype)."""
     out: dict[str, np.ndarray] = {}
 
     def emit(key: str, value, transpose: bool = False):
         arr = np.asarray(value)
         if transpose:
             arr = arr.T
-        if arr.dtype != np.float32 and np.issubdtype(arr.dtype, np.floating):
+        if arr.dtype.itemsize < 4 and "float" in arr.dtype.name:
             arr = arr.astype(np.float32)
         out[key] = np.ascontiguousarray(arr)
 

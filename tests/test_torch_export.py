@@ -87,6 +87,31 @@ def test_torch_reads_our_archive(tmp_path, rna_params):
         np.testing.assert_array_equal(got, v, err_msg=k)
 
 
+def test_state_dict_wrapper_returns_torch_tensors(rna_params):
+    torch = pytest.importorskip("torch")
+
+    from pamnet_tpu.train.export import params_to_torch_state_dict
+
+    sd = params_to_torch_state_dict(rna_params)
+    ref = params_to_torch(rna_params)
+    assert list(sd) == list(ref)
+    for k, v in sd.items():
+        assert isinstance(v, torch.Tensor), k
+        np.testing.assert_array_equal(v.numpy(), ref[k], err_msg=k)
+
+
+def test_export_dtype_rules():
+    """bf16 upcasts to f32 (the reference's dtype); f64 passes through —
+    no silent downcast (cf. ADVICE round-2 #3 on ops/ell.py)."""
+    import jax.numpy as jnp
+
+    params = {"embeddings": jnp.ones((3, 4), jnp.bfloat16),
+              "rbf_g": {"freq": np.linspace(0, 1, 5)}}  # float64
+    sd = params_to_torch(params)
+    assert sd["embeddings"].dtype == np.float32
+    assert sd["rbf_g.freq"].dtype == np.float64
+
+
 def test_mixed_dtypes_roundtrip(tmp_path):
     sd = {
         "f32": np.arange(6, dtype=np.float32).reshape(2, 3),
