@@ -82,16 +82,29 @@ def _t(tables, name):
 # Forward segment-sum preference when a batch carries BOTH an ELL table and
 # sorted-group offsets for the same key: "ell" = gather + dense K-sum (reads
 # G*K rows, K = the dataset-max group size); "sorted" = blocked prefix scan
-# over the R group-sorted rows (streams them once).  Backwards are identical
-# either way (masked gather), and gathers keep their scatter-free ELL
-# backward regardless — this flag ONLY reorders the forward reduction.
-# Same-process A/B at the QM9 bf16 recipe measured ELL faster
-# (tools/tpu_ab.py aggfwd; DEVNOTES round-3), so it stays the default.
+# over the R group-sorted rows (streams them once).  A set/frozenset of key
+# names routes ONLY those keys to the scan (per-key mix).  Backwards are
+# identical either way (masked gather), and gathers keep their scatter-free
+# ELL backward regardless — this flag ONLY reorders the forward reduction.
+# Same-process A/Bs at the QM9 bf16 recipe (tools/tpu_ab.py aggfwd/aggmix;
+# DEVNOTES round-3): all-ELL beats all-sorted (sorted 0.914x worst-case pads,
+# 0.961x balanced pads), but the PER-KEY MIX — triplet reductions through the
+# blocked scan (their ELL tables carry the worst mean-vs-max padding skew,
+# El*K rows vs ~3.3k real triplets), everything else on the ELL K-sum —
+# measured 1.030x over all-ELL at the shipped balanced-pads config
+# (ell 8,904/8,918 <-> mix 9,183 mol/s), so the mix is the default.
 # MEASUREMENT HOOK, not runtime config: the value is read at TRACE time, so
 # flip it BEFORE building a jit wrapper — already-compiled executables keep
 # the routing they were traced with (tools/tpu_ab.py builds a fresh wrapper
-# per variant for exactly this reason).
-AGG_FORWARD = "ell"
+# per variant for exactly this reason).  Keys missing their sorted offsets
+# fall back to the ELL table, so the mix is safe for any table layout.
+AGG_FORWARD: str | frozenset = frozenset({"t2_ji", "t1_ji"})
+
+
+def _route_sorted(key: str) -> bool:
+    if isinstance(AGG_FORWARD, str):
+        return AGG_FORWARD == "sorted"
+    return key in AGG_FORWARD
 
 
 def _agg(values, ids, row_mask, num_groups, tables, key):
@@ -101,7 +114,7 @@ def _agg(values, ids, row_mask, num_groups, tables, key):
     where ELL gathers blow up), then (3) XLA scatter-add."""
     if tables:
         have_off = key + "_off" in tables
-        if key in tables and not (AGG_FORWARD == "sorted" and have_off):
+        if key in tables and not (_route_sorted(key) and have_off):
             return segment_sum_ell(values, ids, row_mask, *_t(tables, key))
         if have_off:
             return segment_sum_sorted(values, ids, row_mask, tables[key + "_off"])

@@ -26,6 +26,10 @@ Experiments (select with argv[1:], default: dtype):
           (ops/ell.py SORTED_SCAN_IMPL; both compensated, pure speed).
   aggfwd  QM9 recipe (bf16): forward segment sums via ELL K-sum vs blocked
           sorted scan, with ELL gather backwards kept in both variants.
+  aggmix  like aggfwd but at the shipped balanced-pads config, adding the
+          per-key mix (triplet reductions sorted, global tables ELL).
+  evalpads stacked eval with plan-pinned vs LPT-balanced eval composition
+          (order-free, so balancing eval is exactly metric-preserving).
 
 Each experiment prints one `AB <name> variant=... mol_s=...` line per variant.
 """
@@ -640,6 +644,95 @@ def exp_scanimpl():
     print(f"AB scanimpl blocked_vs_twosum={b/max(a,a2):.3f}x")
 
 
+def exp_aggmix():
+    """Per-key forward segment-sum routing at the SHIPPED bench config
+    (balanced pads, bf16): the triplet ELL tables carry the worst
+    mean-vs-max padding skew (El*K rows vs ~3.3k real triplet rows at the
+    QM9 recipe), while the global-plex table sits near 1.2x — so route ONLY
+    the triplet reductions (t2_ji/t1_ji) through the blocked sorted scan and
+    keep the big well-packed tables on the ELL K-sum.  The round-3 aggfwd
+    A/B was all-or-nothing and pre-dated balanced pads."""
+    from pamnet_tpu.models import layers
+
+    cfg = PAMNetConfig(dataset="QM9", dim=128, n_layer=6, cutoff_l=5.0,
+                       cutoff_g=5.0, compute_dtype="bfloat16")
+    bs = 32
+    mols = synthetic_qm9_dataset(16 * bs, seed=480)
+    loader = GraphLoader(mols, "qm9", cfg.cutoff_l, cfg.cutoff_g,
+                         batch_size=bs, shuffle=False, drop_last=True,
+                         balanced_batches=True)
+    print(f"pads: {loader.pads}", file=sys.stderr)
+    batches = _stage(loader)
+    tiled, n_steps = _tile(batches, 512)
+    params = init_pamnet(jax.random.PRNGKey(480), cfg)
+    optimizer = make_optimizer(warmup_exponential(1e-4, steps_per_epoch=64),
+                               clip_norm=1000.0)
+    state = init_train_state(params, optimizer, use_ema=True)
+
+    orig = layers.AGG_FORWARD
+    try:
+        layers.AGG_FORWARD = "ell"
+        a = _run_scan("aggmix", "ell", cfg, state, tiled, n_steps, bs)
+        layers.AGG_FORWARD = frozenset({"t2_ji", "t1_ji"})
+        b = _run_scan("aggmix", "mix_triplets", cfg, state, tiled, n_steps, bs)
+        layers.AGG_FORWARD = "sorted"
+        c = _run_scan("aggmix", "sorted", cfg, state, tiled, n_steps, bs)
+        layers.AGG_FORWARD = "ell"
+        a2 = _run_scan("aggmix", "ell_again", cfg, state, tiled, n_steps, bs)
+    finally:
+        layers.AGG_FORWARD = orig
+    base = max(a, a2)
+    print(f"AB aggmix mix_vs_ell={b/base:.3f}x sorted_vs_ell={c/base:.3f}x")
+
+
+def exp_evalpads():
+    """Stacked one-dispatch evaluation (train/loop.py StackedEval) with the
+    eval loaders' current plan-pinned pads vs LPT-balanced composition.
+    Eval is order-free (labels ride in the batches, the metric is a global
+    mean), so balancing eval batches is exactly metric-preserving — the only
+    question is how much the tighter pads save on the HBM-bound forward.
+    Run at the QM9 recipe over a 4096-molecule synthetic split (the shape of
+    the 110k run's 13.75k eval splits)."""
+    from pamnet_tpu.train.loop import StackedEval, make_multistep_eval
+
+    cfg = PAMNetConfig(dataset="QM9", dim=128, n_layer=6, cutoff_l=5.0,
+                       cutoff_g=5.0, compute_dtype="bfloat16")
+    bs = 32
+    mols = synthetic_qm9_dataset(4096, seed=481)
+    params = init_pamnet(jax.random.PRNGKey(480), cfg)
+    eval_run = make_multistep_eval(cfg)
+
+    def to_device(tree):
+        return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x)), tree)
+
+    import numpy as np
+
+    results = {}
+    for name, kw in [("plan", dict(plan_pads=True)),
+                     ("balanced", dict(balanced_batches=True)),
+                     ("plan_again", dict(plan_pads=True))]:
+        loader = GraphLoader(mols, "qm9", cfg.cutoff_l, cfg.cutoff_g,
+                             batch_size=bs, shuffle=False, **kw)
+        print(f"  [{name}] pads: {loader.pads}", file=sys.stderr)
+        ev = StackedEval(eval_run, loader, to_device)
+        t0 = time.time()
+        pred = ev.predict(params)
+        print(f"  [{name}] compile+first: {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        mae = float(np.mean(np.abs(pred - ev.y)))
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            pred = ev.predict(params)  # np.asarray fetch = honest timing
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        results[name] = len(mols) / best
+        print(f"AB evalpads variant={name} mol_s={results[name]:.1f} "
+              f"mae={mae:.6f}")
+    base = max(results["plan"], results["plan_again"])
+    print(f"AB evalpads balanced_vs_plan={results['balanced']/base:.3f}x")
+
+
 def exp_planpads():
     """Pad-waste reduction from plan-pinned pads (GraphLoader plan_pads /
     balanced_batches): the adversarial worst-case bucket must cover any
@@ -688,6 +781,7 @@ def main():
          "variant": exp_variant, "batch": exp_batch,
          "devgraph": exp_devgraph, "scan": exp_scan,
          "scanimpl": exp_scanimpl, "aggfwd": exp_aggfwd,
+         "aggmix": exp_aggmix, "evalpads": exp_evalpads,
          "planpads": exp_planpads}[w]()
 
 
