@@ -133,8 +133,13 @@ def main():
     train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
                                shuffle=True, seed=args.seed,
                                balanced_batches=args.balanced_batches, **common)
-    val_loader = GraphLoader(val_mols, batch_size=args.batch_size, **common)
-    test_loader = GraphLoader(core, batch_size=args.batch_size, **common)
+    # Eval composition is free (labels ride in the batches; metrics are
+    # global reductions), so eval splits always use LPT-balanced packing —
+    # metric-identical, tighter pads (tools/tpu_ab.py evalpads).
+    val_loader = GraphLoader(val_mols, batch_size=args.batch_size,
+                             balanced_batches=True, **common)
+    test_loader = GraphLoader(core, batch_size=args.batch_size,
+                              balanced_batches=True, **common)
 
     params = init_pamnet(jax.random.PRNGKey(args.seed), cfg)
     print("Number of model parameters:", count_parameters(params))

@@ -129,8 +129,11 @@ def main():
     train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
                                shuffle=True, seed=args.seed,
                                balanced_batches=args.balanced_batches, **common)
+    # Eval composition is free (the SmoothL1 val loss is a global mean over
+    # structures), so the val split always uses LPT-balanced packing —
+    # metric-identical, tighter pads (tools/tpu_ab.py evalpads).
     val_loader = GraphLoader(val_mols, batch_size=args.batch_size,
-                             pads=None, **common)
+                             balanced_batches=True, **common)
 
     params = init_pamnet(jax.random.PRNGKey(args.seed), cfg)
     print("Number of model parameters:", count_parameters(params))
