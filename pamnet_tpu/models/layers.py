@@ -88,17 +88,20 @@ def _t(tables, name):
 # ELL backward regardless — this flag ONLY reorders the forward reduction.
 # Same-process A/Bs at the QM9 bf16 recipe (tools/tpu_ab.py aggfwd/aggmix;
 # DEVNOTES round-3): all-ELL beats all-sorted (sorted 0.914x worst-case pads,
-# 0.961x balanced pads), but the PER-KEY MIX — triplet reductions through the
-# blocked scan (their ELL tables carry the worst mean-vs-max padding skew,
-# El*K rows vs ~3.3k real triplets), everything else on the ELL K-sum —
-# measured 1.030x over all-ELL at the shipped balanced-pads config
-# (ell 8,904/8,918 <-> mix 9,183 mol/s), so the mix is the default.
+# 0.960x balanced pads), but the PER-KEY MIX — reductions whose ELL tables
+# carry the worst mean-vs-max padding skew routed through the blocked scan
+# (t2/t1: El*K rows vs ~3.3k real triplets; el_dst: N*kl rows ~4.4x the el
+# stream), everything else on the ELL K-sum — measured 1.035x over all-ELL
+# at the shipped balanced-pads config (ell 8,924/8,919 <-> mix_triplets
+# 9,212 <-> +el_dst 9,236 mol/s), so that mix is the default.  The big
+# well-packed global-plex table (eg_dst, ~1.2x skew) stays on ELL ("sorted"
+# = routing it too = 0.960x).
 # MEASUREMENT HOOK, not runtime config: the value is read at TRACE time, so
 # flip it BEFORE building a jit wrapper — already-compiled executables keep
 # the routing they were traced with (tools/tpu_ab.py builds a fresh wrapper
 # per variant for exactly this reason).  Keys missing their sorted offsets
 # fall back to the ELL table, so the mix is safe for any table layout.
-AGG_FORWARD: str | frozenset = frozenset({"t2_ji", "t1_ji"})
+AGG_FORWARD: str | frozenset = frozenset({"t2_ji", "t1_ji", "el_dst"})
 
 
 def _route_sorted(key: str) -> bool:

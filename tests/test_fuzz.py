@@ -132,9 +132,10 @@ def test_fuzz_routing_matrix(rng):
             run(gb_tables, dataclasses.replace(cfg, fold_sbf=False)), ref,
             rtol=2e-4, atol=2e-5, err_msg="sorted_forward_with_ell_tables",
         )
-        # Per-key mix (the tpu_ab aggmix route): only the triplet reductions
-        # go through the scan; everything else keeps the ELL K-sum.
-        layers.AGG_FORWARD = frozenset({"t2_ji", "t1_ji"})
+        # Per-key mix (the tpu_ab aggmix route, the shipped default): the
+        # skew-padded reductions (triplets + local edge->node) go through the
+        # scan; everything else keeps the ELL K-sum.
+        layers.AGG_FORWARD = frozenset({"t2_ji", "t1_ji", "el_dst"})
         np.testing.assert_allclose(
             run(gb_tables, dataclasses.replace(cfg, fold_sbf=False)), ref,
             rtol=2e-4, atol=2e-5, err_msg="mixed_forward_routing",

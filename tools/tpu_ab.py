@@ -675,6 +675,8 @@ def exp_aggmix():
         a = _run_scan("aggmix", "ell", cfg, state, tiled, n_steps, bs)
         layers.AGG_FORWARD = frozenset({"t2_ji", "t1_ji"})
         b = _run_scan("aggmix", "mix_triplets", cfg, state, tiled, n_steps, bs)
+        layers.AGG_FORWARD = frozenset({"t2_ji", "t1_ji", "el_dst"})
+        d = _run_scan("aggmix", "mix_triplets_el", cfg, state, tiled, n_steps, bs)
         layers.AGG_FORWARD = "sorted"
         c = _run_scan("aggmix", "sorted", cfg, state, tiled, n_steps, bs)
         layers.AGG_FORWARD = "ell"
@@ -682,7 +684,8 @@ def exp_aggmix():
     finally:
         layers.AGG_FORWARD = orig
     base = max(a, a2)
-    print(f"AB aggmix mix_vs_ell={b/base:.3f}x sorted_vs_ell={c/base:.3f}x")
+    print(f"AB aggmix mix_vs_ell={b/base:.3f}x mix_el_vs_ell={d/base:.3f}x "
+          f"sorted_vs_ell={c/base:.3f}x")
 
 
 def exp_evalpads():
