@@ -163,8 +163,9 @@ def bench_qm9():
     # (+52% same-process at this recipe — the step is HBM-bound on padded
     # edge gathers and the worst-case bucket pads 1.4-1.8x more rows than
     # real batches fill; tools/tpu_ab.py planpads).  Same batch size, same
-    # math, every molecule once per epoch; epochs reshuffle batch order
-    # only (the same documented divergence as --device_data).  The
+    # math, every molecule once per epoch (the bench set divides evenly;
+    # non-divisible splits freeze the dropped remainder — loader docstring);
+    # epochs reshuffle batch order only (as --device_data).  The
     # reference pays no padding at all (dense per-batch tensors), so
     # plan-true pads move the measured workload CLOSER to the reference's.
     # PAMNET_BENCH_PADS=worstcase restores the any-shuffle bucket.

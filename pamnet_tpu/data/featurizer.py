@@ -232,8 +232,10 @@ def perceive_mol2(mol: Mol2) -> PerceivedMol:
         valence[b] += v
     valence = np.round(valence).astype(np.int64)
 
+    # Case-insensitive like every other SYBYL-suffix check here (writers
+    # emit "C.ar"/"C.AR" variants; OpenBabel's typer is case-insensitive).
     aromatic = arom_bond | np.array(
-        [s.endswith(".ar") for s in mol.sybyl], dtype=bool
+        [s.lower().endswith(".ar") for s in mol.sybyl], dtype=bool
     )
     conn = np.array([len(nbrs[v]) for v in range(n)], dtype=np.int64)
     num_h = np.array(

@@ -56,7 +56,10 @@ class GraphLoader:
         plan is one seeded permutation; epochs reshuffle the batch ORDER
         only (the same documented composition-vs-reference divergence as
         ``DeviceDataTrainer``, train/loop.py).  Shapes stay uniform across
-        batches, so scan blocks and shard_map DP remain valid.
+        batches, so scan blocks and shard_map DP remain valid.  With
+        ``drop_last`` the dropped remainder (``len(mols) % batch_size``
+        molecules) is also FROZEN — excluded from every epoch, not a
+        rotating per-epoch remainder (a warning is emitted).
       balanced_batches: build the frozen plan by LPT greedy packing on
         mean-normalized counts (largest molecules first, each to the
         currently-lightest batch), minimizing the worst batch sums —
@@ -201,7 +204,21 @@ class GraphLoader:
         descending, place each into the least-loaded non-full batch."""
         m = len(self.structs)
         nb = m // self.batch_size if self.drop_last else -(-m // self.batch_size)
-        nb = max(nb, 1)
+        if nb == 0:  # drop_last with fewer molecules than one batch
+            return []
+        if self.drop_last and m % self.batch_size:
+            import warnings
+
+            # Streaming (non-plan) loaders drop a DIFFERENT remainder every
+            # epoch; a frozen plan drops the same molecules for the whole
+            # run.  Surface it so "every molecule trains" assumptions don't
+            # silently break on non-divisible splits.
+            warnings.warn(
+                f"GraphLoader(plan_pads/balanced_batches, drop_last=True): "
+                f"{m % self.batch_size} of {m} molecules are excluded from "
+                f"EVERY epoch (frozen batch composition)",
+                stacklevel=3,
+            )
         if not self.balanced_batches:
             order = (
                 self._rng.permutation(m) if self.shuffle else np.arange(m)
@@ -246,6 +263,8 @@ class GraphLoader:
         widths stay the dataset-wide maxima from ``worst``)."""
         import dataclasses as _dc
 
+        if not self._fixed_plan:  # drop_last left zero batches
+            return worst
         sums = np.stack(
             [self._counts[idxs].sum(axis=0) for idxs in self._fixed_plan]
         )

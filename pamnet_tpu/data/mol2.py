@@ -73,7 +73,10 @@ def parse_mol2(path: str) -> Mol2:
                 )
             elif section == "BOND":
                 p = line.split()
-                bonds.append((int(p[1]) - 1, int(p[2]) - 1, p[3]))
+                # Order string lowercased: SYBYL writers emit case variants
+                # ("ar"/"Ar"/"AR", "am"/"Am") and all downstream lookups
+                # (_ORDER_VALENCE, aromatic-bond perception) expect lowercase.
+                bonds.append((int(p[1]) - 1, int(p[2]) - 1, p[3].lower()))
             elif section == "MOLECULE":
                 pass
     return Mol2(

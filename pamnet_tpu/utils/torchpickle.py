@@ -316,6 +316,11 @@ def save_torch_pickle(path: str, state_dict: dict) -> None:
     body += b"("  # MARK for SETITEMS
     for key, value in state_dict.items():
         arr = np.ascontiguousarray(value)
+        if arr.dtype.byteorder == ">":
+            # The archive declares byteorder "little"; swap the payload to
+            # match rather than writing big-endian bytes under a
+            # little-endian label.
+            arr = arr.astype(arr.dtype.newbyteorder("<"))
         sname = _STORAGE_NAMES.get(arr.dtype.newbyteorder("<"))
         if sname is None:
             raise TypeError(f"{key}: no torch storage for dtype {arr.dtype}")

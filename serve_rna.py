@@ -82,6 +82,14 @@ class RNAScoringService:
         # jax dispatch is thread-safe, but serialize scoring so concurrent
         # requests don't interleave compiles on the single host core.
         self._lock = threading.Lock()
+        # Monotone high-water pad cap shared across requests: ladder buckets
+        # are clamped against loader.pads, so a per-request cap would make
+        # the largest batch of every distinct-size request its own compiled
+        # shape.  Feeding each loader the running maximum keeps the clamp
+        # stable once the biggest structures have been seen, so bucket
+        # shapes stay on the geometric ladder and compiled programs are
+        # genuinely reused across requests.
+        self._pads = None
 
     def compiled_buckets(self) -> int:
         try:
@@ -102,13 +110,32 @@ class RNAScoringService:
         mols = [dict(z=np.asarray(m["z"], np.int32),
                      pos=np.asarray(m["pos"], np.float32),
                      y=float(m.get("y", 0.0))) for m in mols]
-        loader = GraphLoader(
-            mols, self.cfg.dataset_kind, self.cfg.cutoff_l, self.cfg.cutoff_g,
-            batch_size=self.batch_size, shuffle=False,
-            build_tables=False, ladder_pads=self.ladder_pads,
-        )
-        out = []
+        ntypes = self.cfg.num_atom_types
+        for i, m in enumerate(mols):
+            z, pos = m["z"], m["pos"]
+            if z.ndim != 1 or pos.shape != (z.shape[0], 3):
+                raise ValueError(
+                    f"molecule {i}: 'pos' must be (len(z), 3), got z "
+                    f"{z.shape} pos {pos.shape}"
+                )
+            if z.size and (z.min() < 0 or z.max() >= ntypes):
+                # Reject rather than let jax clamp out-of-range gathers into
+                # silently-wrong scores (e.g. atomic numbers 6/7/8 instead
+                # of the TU codes 0=C 1=N 2=O).
+                raise ValueError(
+                    f"molecule {i}: atom codes must be in [0, {ntypes}) "
+                    f"(TU convention: 0=C 1=N 2=O), got "
+                    f"[{int(z.min())}, {int(z.max())}]"
+                )
         with self._lock:
+            loader = GraphLoader(
+                mols, self.cfg.dataset_kind, self.cfg.cutoff_l,
+                self.cfg.cutoff_g, batch_size=self.batch_size, shuffle=False,
+                build_tables=False, ladder_pads=self.ladder_pads,
+                pads=self._pads,
+            )
+            self._pads = loader.pads  # high-water cap (pads only ever widen)
+            out = []
             for gb in loader:
                 res = self._fwd(self.params, jax.tree.map(jnp.asarray, gb))
                 nb = int(gb.graph_mask.sum())

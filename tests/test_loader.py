@@ -234,10 +234,36 @@ def test_balanced_drop_last_drops_random_not_smallest(rng):
     survives in every plan (dropping by cost would always drop them)."""
     mols = _mols(rng, 19)  # batch_size 4 -> 4 batches of 4, 3 dropped
     sizes = np.array([len(m["z"]) for m in mols])
-    small = set(np.argsort(sizes)[:5].tolist())
+    smallest3 = frozenset(np.argsort(sizes)[:3].tolist())  # = the drop count
+    dropped_sets = set()
+    import warnings
+
     for seed in range(4):
-        ld = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=4, align=8,
-                         balanced_batches=True, drop_last=True, seed=seed)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # frozen-remainder warning
+            ld = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=4, align=8,
+                             balanced_batches=True, drop_last=True, seed=seed)
         kept = {i for b in ld.batches() for i in b}
         assert len(kept) == 16
-        assert kept & small, "smallest molecules always dropped -> biased"
+        dropped_sets.add(frozenset(range(19)) - frozenset(kept))
+    # A drop-the-cheapest implementation would drop the SAME 3 smallest
+    # molecules every seed; random dropping gives seed-dependent sets that
+    # are (essentially) never exactly the 3 smallest.
+    assert len(dropped_sets) > 1, "dropped set identical across seeds"
+    assert any(d != smallest3 for d in dropped_sets), (
+        "always drops the smallest molecules -> biased"
+    )
+
+
+def test_plan_drop_last_smaller_than_batch(rng):
+    """drop_last with fewer molecules than one batch: every plan mode must
+    agree with the streaming path (zero batches, len 0) instead of crashing
+    at construction (non-balanced plan) or yielding a phantom partial batch
+    (balanced)."""
+    mols = _mols(rng, 3)
+    for kw in (dict(plan_pads=True, shuffle=True), dict(balanced_batches=True)):
+        ld = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=4, align=8,
+                         drop_last=True, **kw)
+        assert len(ld) == 0
+        assert ld.batches() == []
+        assert list(ld) == []

@@ -538,3 +538,18 @@ def test_pdbbind_build_complex(tmp_path):
     # Shifted subgraphs sit past x=40 (DeltaE sign mask, models.py:122-125).
     assert (pos[9:15, 0] > 40).all() and (pos[15:, 0] > 40).all()
     assert (pos[:9, 0] < 40).all()
+
+
+def test_featurizer_uppercase_sybyl_case_insensitive(tmp_path):
+    """SYBYL writers emit case variants ("C.AR", bond order "AR"); perception
+    must match the lowercase forms exactly (OpenBabel's typer is
+    case-insensitive)."""
+    p = tmp_path / "bnz_upper.mol2"
+    p.write_text(BENZENE_MOL2.replace("C.ar", "C.AR").replace(" ar\n", " AR\n"))
+    q = tmp_path / "bnz_lower.mol2"
+    q.write_text(BENZENE_MOL2)
+    coords_u, feats_u = featurize_mol2(parse_mol2(str(p)))
+    coords_l, feats_l = featurize_mol2(parse_mol2(str(q)))
+    np.testing.assert_array_equal(feats_u, feats_l)
+    f = dict(zip(FEATURE_NAMES, feats_u[0]))
+    assert f["aromatic"] == 1.0 and f["hyb"] == 2.0

@@ -124,3 +124,28 @@ def test_http_roundtrip(service, natives):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_rejects_out_of_range_atom_codes(service, natives):
+    """Out-of-range z (e.g. atomic numbers instead of TU codes) must raise,
+    not be clamped by jax's gather into silently-wrong scores."""
+    mols, _ = natives
+    bad = dict(mols[0])
+    bad["z"] = np.asarray(bad["z"]) + 6  # 6/7/8 = C/N/O atomic numbers
+    with pytest.raises(ValueError, match="atom codes"):
+        service.score_molecules([bad])
+    with pytest.raises(ValueError, match="pos"):
+        service.score_molecules([dict(z=[0, 1], pos=[[0.0, 0.0, 0.0]])])
+
+
+def test_pad_cap_is_monotone_across_requests(service, natives):
+    """The service's ladder-bucket cap must only ever widen: a small request
+    after a large one keeps the high-water pads, so bucket shapes stay on
+    the geometric ladder and compiled programs are reused across requests."""
+    mols, _ = natives
+    service.score_molecules([mols[0]])
+    big = service._pads
+    small = dict(z=np.asarray(mols[0]["z"])[:40],
+                 pos=np.asarray(mols[0]["pos"])[:40])
+    service.score_molecules([small])
+    assert service._pads == big  # not shrunk back to the small request

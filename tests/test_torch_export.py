@@ -147,3 +147,20 @@ def test_reference_checkpoint_ingest_export_exact(tmp_path):
     save_torch_pickle(path, exported)
     reloaded = load_torch_checkpoint(path)
     _tree_equal(params, reloaded)
+
+
+def test_big_endian_arrays_written_little(tmp_path):
+    """The archive declares byteorder 'little'; big-endian inputs must be
+    byte-swapped into the payload, not written raw under that label."""
+    from pamnet_tpu.utils.torchpickle import load_torch_pickle, \
+        save_torch_pickle
+
+    path = str(tmp_path / "be.pt")
+    be = np.arange(6, dtype=">f4").reshape(2, 3) * 1.5
+    save_torch_pickle(path, {"w": be, "i": np.arange(4, dtype=">i8")})
+    got = load_torch_pickle(path)
+    np.testing.assert_array_equal(got["w"], np.asarray(be, "<f4"))
+    np.testing.assert_array_equal(got["i"], np.arange(4))
+    torch = pytest.importorskip("torch")
+    sd = torch.load(path, weights_only=True)
+    np.testing.assert_array_equal(sd["w"].numpy(), np.asarray(be, "<f4"))
