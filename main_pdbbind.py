@@ -26,10 +26,10 @@ class StackedEval:
     main_pdbbind.py:25-39).  Lazy import keeps jax out of module import
     time (--platform handling)."""
 
-    def __init__(self, eval_run, loader, to_device):
+    def __init__(self, eval_run, loader, to_device, dp: int = 0):
         from pamnet_tpu.train.loop import StackedEval as _SE
 
-        self._ev = _SE(eval_run, loader, to_device)
+        self._ev = _SE(eval_run, loader, to_device, dp=dp)
 
     def __call__(self, params):
         preds = self._ev.predict(params)
@@ -157,7 +157,11 @@ def main():
               f"at step {int(state.step)}")
     runner = EpochRunner(cfg, optimizer, "mse", ema_decay=None, dp=dp,
                          scan_steps=args.scan_steps)
-    eval_run = make_multistep_eval(cfg)
+    if dp > 1:  # eval shards over the same mesh as training
+        from pamnet_tpu.train.loop import make_dp_multistep_eval, make_mesh
+        eval_run = make_dp_multistep_eval(cfg, make_mesh(dp))
+    else:
+        eval_run = make_multistep_eval(cfg)
 
     from pamnet_tpu.utils.wirepack import stage as to_device
 
@@ -170,9 +174,9 @@ def main():
             cfg, optimizer, "mse", train_loader, to_device, seed=args.seed,
         )
 
-    train_eval = StackedEval(eval_run, train_loader, to_device)
-    val_eval = StackedEval(eval_run, val_loader, to_device)
-    test_eval = StackedEval(eval_run, test_loader, to_device)
+    train_eval = StackedEval(eval_run, train_loader, to_device, dp=dp)
+    val_eval = StackedEval(eval_run, val_loader, to_device, dp=dp)
+    test_eval = StackedEval(eval_run, test_loader, to_device, dp=dp)
 
     save_folder = None
     if args.save_dir:

@@ -28,10 +28,10 @@ class StackedEval:
     (train/loop.py::StackedEval): MAE (reference main_qm9.py:29-37).
     Lazy import keeps jax out of module import time (--platform handling)."""
 
-    def __init__(self, eval_run, loader, to_device):
+    def __init__(self, eval_run, loader, to_device, dp: int = 0):
         from pamnet_tpu.train.loop import StackedEval as _SE
 
-        self._ev = _SE(eval_run, loader, to_device)
+        self._ev = _SE(eval_run, loader, to_device, dp=dp)
 
     def mae(self, params) -> float:
         ev = self._ev
@@ -229,8 +229,14 @@ def main():
         from pamnet_tpu.train.checkpoint import load_checkpoint
         state = load_checkpoint(args.resume, state)
         print(f"Resumed full train state from {args.resume} at step {int(state.step)}")
-    from pamnet_tpu.train.loop import make_multistep_eval
-    eval_run = make_multistep_eval(cfg)
+    # Evaluation shards over the same mesh as training under --dp (the
+    # stacked split scans ceil(nb/D) forwards instead of nb).
+    if dp > 1:
+        from pamnet_tpu.train.loop import make_dp_multistep_eval, make_mesh
+        eval_run = make_dp_multistep_eval(cfg, make_mesh(dp))
+    else:
+        from pamnet_tpu.train.loop import make_multistep_eval
+        eval_run = make_multistep_eval(cfg)
 
     # Packed staging: one wire buffer per dtype instead of one transfer per
     # pytree leaf (~35 leaves x ~90 ms RTT on tunneled pools; also fewer
@@ -252,8 +258,8 @@ def main():
     save_folder = osp.join('.', args.save_dir, args.dataset)
     os.makedirs(save_folder, exist_ok=True)
 
-    val_eval = StackedEval(eval_run, val_loader, to_device)
-    test_eval = StackedEval(eval_run, test_loader, to_device)
+    val_eval = StackedEval(eval_run, val_loader, to_device, dp=dp)
+    test_eval = StackedEval(eval_run, test_loader, to_device, dp=dp)
 
     print("Start training!")
     best_val_loss, test_loss = None, float('nan')

@@ -30,10 +30,10 @@ class StackedEval:
     main_rna_puzzles.py:23-42).  Lazy import keeps jax out of module
     import time (--platform handling)."""
 
-    def __init__(self, eval_run, loader, to_device):
+    def __init__(self, eval_run, loader, to_device, dp: int = 0):
         from pamnet_tpu.train.loop import StackedEval as _SE
 
-        self._ev = _SE(eval_run, loader, to_device)
+        self._ev = _SE(eval_run, loader, to_device, dp=dp)
 
     def __call__(self, params):
         preds = self._ev.predict(params)
@@ -146,8 +146,12 @@ def main():
               f"at step {int(state.step)}")
     runner = EpochRunner(cfg, optimizer, "smooth_l1", ema_decay=None,
                          dp=max(args.dp, 0), scan_steps=args.scan_steps)
-    from pamnet_tpu.train.loop import make_multistep_eval
-    eval_run = make_multistep_eval(cfg)
+    if args.dp > 1:  # eval shards over the same mesh as training
+        from pamnet_tpu.train.loop import make_dp_multistep_eval, make_mesh
+        eval_run = make_dp_multistep_eval(cfg, make_mesh(args.dp))
+    else:
+        from pamnet_tpu.train.loop import make_multistep_eval
+        eval_run = make_multistep_eval(cfg)
 
     from pamnet_tpu.utils.wirepack import stage as to_device
 
@@ -161,8 +165,10 @@ def main():
             seed=args.seed,
         )
 
-    train_eval = StackedEval(eval_run, train_loader, to_device)
-    val_eval = StackedEval(eval_run, val_loader, to_device)
+    train_eval = StackedEval(eval_run, train_loader, to_device,
+                             dp=max(args.dp, 0))
+    val_eval = StackedEval(eval_run, val_loader, to_device,
+                           dp=max(args.dp, 0))
 
     save_dir = osp.join('.', args.save_dir)
     os.makedirs(save_dir, exist_ok=True)

@@ -299,6 +299,33 @@ def make_multistep_eval(cfg: PAMNetConfig):
     return run
 
 
+def make_dp_multistep_eval(cfg: PAMNetConfig, mesh: Mesh, axis: str = "dp"):
+    """Data-parallel one-dispatch evaluation: batches carry a leading scan
+    axis S and a device axis D (leaves (S, D, ...), sharded on axis 1);
+    device d scans its own S local batches, so the whole split evaluates in
+    S sequential forwards instead of S*D.  Returns (S, D, G) predictions
+    where (s, d) is batch ``s*D + d`` — ``StackedEval(dp=D)`` builds exactly
+    that layout and flattens it back to batch order.  Params replicated;
+    no collectives needed (predictions are independent)."""
+
+    def shard_run(params, batches: GraphBatch):
+        local = jax.tree.map(lambda x: x[:, 0], batches)  # (S, ...)
+
+        def body(carry, b):
+            return carry, apply_pamnet(params, b, cfg)
+
+        _, preds = jax.lax.scan(body, None, local)
+        return preds[:, None]  # (S, 1, G) local slice of the device axis
+
+    sharded = shard_map(
+        shard_run,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis)),
+        out_specs=P(None, axis),
+    )
+    return jax.jit(sharded)
+
+
 def make_eval_step(cfg: PAMNetConfig):
     """Masked prediction: returns (pred, graph_mask) for metric accumulation
     on host (under EMA weights when the caller passes state.ema)."""
@@ -355,9 +382,16 @@ class StackedEval:
     Shared by the three training drivers, which wrap :meth:`predict` with
     their dataset metric (QM9 MAE, PDBbind RMSE/MAE/SD/Pearson quad, RNA
     SmoothL1 — reference main_qm9.py:29-37, main_pdbbind.py:25-39,
-    main_rna_puzzles.py:23-42)."""
+    main_rna_puzzles.py:23-42).
 
-    def __init__(self, eval_run, loader, to_device, verbose: bool = True):
+    With ``dp > 1`` the split evaluates data-parallel: pass
+    ``make_dp_multistep_eval(cfg, make_mesh(dp))`` as ``eval_run``; the
+    batch list is padded to a multiple of ``dp`` with zero-mask copies of
+    the last batch, stacked to (S, D, ...), and staged sharded on the
+    device axis — the scan runs S = ceil(nb/D) forwards instead of nb."""
+
+    def __init__(self, eval_run, loader, to_device, verbose: bool = True,
+                 dp: int = 0):
         import sys
         import time
 
@@ -365,10 +399,34 @@ class StackedEval:
 
         t0 = time.time()
         batches = list(loader)  # host batches; stack on host, transfer once
+        self.dp = max(dp, 0)
+        if self.dp > 1 and len(batches) % self.dp:
+            # Pad with zero-mask dummies (their predictions are masked out;
+            # graph_mask=0 also keeps self.mask/self.y aligned below).
+            dummy = batches[-1]._replace(
+                graph_mask=np.zeros_like(np.asarray(batches[-1].graph_mask))
+            )
+            batches = batches + [dummy] * (-len(batches) % self.dp)
         t1 = time.time()
         stacked = stack_microbatches_host(batches)
+        if self.dp > 1:
+            # (S*D, ...) -> (S, D, ...): element (s, d) = batch s*D + d.
+            # Explicit S: a -1 dim is ambiguous for zero-size leaves (e.g.
+            # empty feat fields).
+            s_len = len(batches) // self.dp
+            stacked = jax.tree.map(
+                lambda x: x.reshape((s_len, self.dp) + x.shape[1:]), stacked
+            )
         t2 = time.time()
-        self.stacked = to_device(stacked)
+        if self.dp > 1:
+            from jax.sharding import NamedSharding
+
+            shard = NamedSharding(make_mesh(self.dp), P(None, "dp"))
+            self.stacked = jax.tree.map(
+                lambda x: jax.device_put(x, shard), stacked
+            )
+        else:
+            self.stacked = to_device(stacked)
         # Force the transfer now so staging cost is attributable (and not
         # folded into the first eval dispatch).  NOTE: on this pool
         # block_until_ready can return at enqueue time (DEVNOTES.md), so

@@ -50,3 +50,34 @@ def test_dp_eval_matches_single(rng):
     for d, gb in enumerate(micro):
         want = np.asarray(apply_pamnet(params, jax.tree.map(jnp.asarray, gb), CFG))
         np.testing.assert_allclose(preds[d], want, rtol=2e-5, atol=1e-5)
+
+
+def test_dp_stacked_eval_matches_single(rng):
+    """StackedEval(dp=D) over make_dp_multistep_eval: a whole split with a
+    batch count NOT divisible by D (dummy-padded) must reproduce the
+    single-device StackedEval predictions and y alignment exactly."""
+    from pamnet_tpu.train.loop import (
+        StackedEval,
+        make_dp_multistep_eval,
+        make_multistep_eval,
+    )
+    from pamnet_tpu.train.loop import make_mesh as make_loop_mesh
+
+    class _Loader:
+        def __init__(self, batches):
+            self._b = batches
+
+        def __iter__(self):
+            return iter(self._b)
+
+    batches = [_batch(rng, n_mols=int(rng.integers(2, 4))) for _ in range(11)]
+    to_device = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
+    params = init_pamnet(jax.random.PRNGKey(1), CFG)
+
+    single = StackedEval(make_multistep_eval(CFG), _Loader(batches),
+                         to_device, verbose=False)
+    dp = StackedEval(make_dp_multistep_eval(CFG, make_loop_mesh(4)),
+                     _Loader(batches), to_device, verbose=False, dp=4)
+    np.testing.assert_array_equal(single.y, dp.y)
+    np.testing.assert_allclose(dp.predict(params), single.predict(params),
+                               rtol=2e-5, atol=1e-5)
