@@ -220,9 +220,15 @@ def main():
     print("Number of model parameters:", count_parameters(params))
 
     steps_per_epoch = max(len(train_loader) // max(dp, 1), 1)
+    # The reference advances the fractional epoch by step/(len(train)/bs)
+    # (main_qm9.py:114), a float divisor distinct from the integer batch
+    # count; pass it through so the lr-vs-epoch mapping matches even when
+    # batch_size does not divide the dataset (single-process path only — DP
+    # divides the step count instead).
+    frac = len(train_mols) / args.batch_size if dp <= 1 else None
     optimizer = make_optimizer(
-        warmup_exponential(args.lr, steps_per_epoch), weight_decay=args.wd,
-        clip_norm=1000.0,
+        warmup_exponential(args.lr, steps_per_epoch, frac_steps_per_epoch=frac),
+        weight_decay=args.wd, clip_norm=1000.0,
     )
     state = init_train_state(params, optimizer, use_ema=True)
     if args.resume:

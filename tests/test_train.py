@@ -83,14 +83,16 @@ def test_ema_recurrence_matches_reference(rng):
 
 
 def test_warmup_exponential_schedule():
+    # Sequence-exact torch semantics (tests/test_schedule_torch_parity.py):
+    # update k trains at the lr the reference scheduler set after update k-1.
     sched = warmup_exponential(1e-4, steps_per_epoch=100)
-    # Linear ramp during epoch 0.
+    # Linear ramp during epoch 0 (shifted one step: lr(k) = base*(k-1)/N).
     np.testing.assert_allclose(float(sched(0)), 0.0, atol=1e-12)
-    np.testing.assert_allclose(float(sched(50)), 0.5e-4, rtol=1e-6)
-    np.testing.assert_allclose(float(sched(100)), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(51)), 0.5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(101)), 1e-4, rtol=1e-6)
     # Exponential decay afterwards: gamma^(t-1).
     np.testing.assert_allclose(
-        float(sched(300)), 1e-4 * 0.9961697**2, rtol=1e-5
+        float(sched(301)), 1e-4 * 0.9961697**2, rtol=1e-5
     )
 
 
