@@ -97,7 +97,20 @@ def main():
                              'composition is fixed at staging (epochs '
                              'reshuffle batch order only); composes with '
                              '--dp (shards the staged batches across the '
-                             'mesh, one synchronized DP step per scan step)')
+                             'mesh, one synchronized DP step per scan step; '
+                             'each device permutes its OWN shard, so the '
+                             'batch->device assignment is also frozen — '
+                             'see --shard_rotate)')
+    parser.add_argument('--shard_rotate', type=int, default=1,
+                        help='With --device_data --dp: roll the staged '
+                             'batches one shard across the mesh every K '
+                             'epochs (one on-device collective-permute per '
+                             'epoch, riding ICI), so every batch rotates '
+                             'through every device and cross-shard step '
+                             'pairings vary over epochs instead of being '
+                             'frozen at staging. 0 disables (pre-rotation '
+                             'behavior). Loss accounting stays exact either '
+                             'way')
     parser.add_argument('--device_basis', action='store_true',
                         help='Skip host-precomputed spherical-basis/distance '
                              'tables; evaluate geometry on device (~2%% '
@@ -259,6 +272,7 @@ def main():
         device_trainer = DeviceDataTrainer(
             cfg, optimizer, "l1", train_loader, to_device,
             ema_decay=0.999, seed=args.seed, dp=dp,
+            rotate_every=args.shard_rotate,
         )
 
     save_folder = osp.join('.', args.save_dir, args.dataset)

@@ -96,31 +96,33 @@ def _t(tables, name):
 # 9,212 <-> +el_dst 9,236 mol/s), so that mix is the default.  The big
 # well-packed global-plex table (eg_dst, ~1.2x skew) stays on ELL ("sorted"
 # = routing it too = 0.960x).
-# MEASUREMENT HOOK, not runtime config: the value is read at TRACE time, so
-# flip it BEFORE building a jit wrapper — already-compiled executables keep
-# the routing they were traced with (tools/tpu_ab.py builds a fresh wrapper
-# per variant for exactly this reason).  Keys missing their sorted offsets
-# fall back to the ELL table, so the mix is safe for any table layout.
-AGG_FORWARD: str | frozenset = frozenset({"t2_ji", "t1_ji", "el_dst"})
+# The routing lives on PAMNetConfig.agg_forward (hashable, part of the jit
+# key) and is threaded through the layer calls; this constant is only the
+# shared default.  Keys missing their sorted offsets fall back to their ELL
+# table, so any mix is safe for any table layout.
+DEFAULT_AGG_FORWARD: frozenset = frozenset({"t2_ji", "t1_ji", "el_dst"})
 
 
-def _route_sorted(key: str) -> bool:
-    if isinstance(AGG_FORWARD, str):
-        return AGG_FORWARD == "sorted"
-    return key in AGG_FORWARD
+def _route_sorted(agg_forward, key: str) -> bool:
+    if isinstance(agg_forward, str):
+        return agg_forward == "sorted"
+    return key in agg_forward
 
 
-def _agg(values, ids, row_mask, num_groups, tables, key):
+def _agg(values, ids, row_mask, num_groups, tables, key,
+         agg_forward=DEFAULT_AGG_FORWARD, scan_impl: str = "blocked"):
     """Masked segment sum, preferring (1) scatter-free ELL tables (built for
     training; fastest at QM9 scale), then (2) prefix-scan over group-sorted
     rows (offsets are always built; best for inference on huge edge sets
     where ELL gathers blow up), then (3) XLA scatter-add."""
     if tables:
         have_off = key + "_off" in tables
-        if key in tables and not (_route_sorted(key) and have_off):
+        if key in tables and not (_route_sorted(agg_forward, key) and have_off):
             return segment_sum_ell(values, ids, row_mask, *_t(tables, key))
         if have_off:
-            return segment_sum_sorted(values, ids, row_mask, tables[key + "_off"])
+            return segment_sum_sorted(
+                values, ids, row_mask, tables[key + "_off"], impl=scan_impl
+            )
     return segment_sum(values * row_mask[:, None], ids, num_groups)
 
 
@@ -132,7 +134,8 @@ def _gath(x, idx, tables, key):
 
 
 def global_mp(p, x, edge_attr, src, dst, e_mask, flow: str, num_nodes: int,
-              tables: dict | None = None, lane_pack: bool = False):
+              tables: dict | None = None, lane_pack: bool = False,
+              agg_forward=DEFAULT_AGG_FORWARD, scan_impl: str = "blocked"):
     """One global-plex layer (reference: global_message_passing.py:33-56).
 
     ``flow`` chooses which endpoint receives messages: ``source_to_target``
@@ -183,7 +186,8 @@ def global_mp(p, x, edge_attr, src, dst, e_mask, flow: str, num_nodes: int,
         m = nn.silu(x_i + x_j + edge_attr @ w[2 * dim :] + b)
         m = m * nn.linear(p["W_edge_attr"], edge_attr)
         m = m * e_mask[:, None]
-    x = x + _agg(m, agg_idx, e_mask, num_nodes, tables, t_agg)
+    x = x + _agg(m, agg_idx, e_mask, num_nodes, tables, t_agg,
+                 agg_forward, scan_impl)
     x = nn.mlp(p["mlp_x2"], x)
 
     x = nn.res(p["res1"], x) + res_x
@@ -250,6 +254,8 @@ def local_mp(
     num_nodes: int,
     use_pallas: bool = False,
     tables: dict | None = None,
+    agg_forward=DEFAULT_AGG_FORWARD,
+    scan_impl: str = "blocked",
 ):
     """One full local-plex layer with both triplet streams (reference:
     local_message_passing.py:36-66).  ``sbf2``/``sbf1`` arrive already
@@ -273,19 +279,28 @@ def local_mp(
     if isinstance(sbf2, FoldedSBF):
         m2 = _fused_sbf_gather(p, m_neighbor, sbf2, t2_kj, t2_mask)
         m1 = _fused_sbf_gather(p, m_neighbor, sbf1, t1_jj, t1_mask)
-        m_other = _agg(m2, t2_ji, t2_mask, num_edges, tables, "t2_ji") + _agg(
-            m1, t1_ji, t1_mask, num_edges, tables, "t1_ji"
+        m_other = _agg(
+            m2, t2_ji, t2_mask, num_edges, tables, "t2_ji", agg_forward,
+            scan_impl,
+        ) + _agg(
+            m1, t1_ji, t1_mask, num_edges, tables, "t1_ji", agg_forward,
+            scan_impl,
         )
         return _local_tail(
-            p, x, res_x, m_ji + m_other, rbf, i, el_mask, num_nodes, tables
+            p, x, res_x, m_ji + m_other, rbf, i, el_mask, num_nodes, tables,
+            agg_forward, scan_impl,
         )
     b2 = nn.mlp(p["mlp_sbf"], sbf2) * t2_mask[:, None]
     b1 = nn.mlp(p["mlp_sbf"], sbf1) * t1_mask[:, None]
     if tables:
         m2 = _gath(m_neighbor, t2_kj, tables, "t2_kj") * b2
         m1 = _gath(m_neighbor, t1_jj, tables, "t1_jj") * b1
-        m_other = _agg(m2, t2_ji, t2_mask, num_edges, tables, "t2_ji") + _agg(
-            m1, t1_ji, t1_mask, num_edges, tables, "t1_ji"
+        m_other = _agg(
+            m2, t2_ji, t2_mask, num_edges, tables, "t2_ji", agg_forward,
+            scan_impl,
+        ) + _agg(
+            m1, t1_ji, t1_mask, num_edges, tables, "t1_ji", agg_forward,
+            scan_impl,
         )
     else:
         dim = rbf.shape[1]
@@ -295,17 +310,20 @@ def local_mp(
             m_neighbor, b2, t2_kj, t2_ji, num_edges, p2
         ) + fused_triplet_aggregate(m_neighbor, b1, t1_jj, t1_ji, num_edges, p1)
     return _local_tail(
-        p, x, res_x, m_ji + m_other, rbf, i, el_mask, num_nodes, tables
+        p, x, res_x, m_ji + m_other, rbf, i, el_mask, num_nodes, tables,
+        agg_forward, scan_impl,
     )
 
 
-def _local_tail(p, x, res_x, m, rbf, i, el_mask, num_nodes, tables):
+def _local_tail(p, x, res_x, m, rbf, i, el_mask, num_nodes, tables,
+                agg_forward=DEFAULT_AGG_FORWARD, scan_impl: str = "blocked"):
     """Shared epilogue of both local-layer variants: rbf gating, edge->node
     aggregation, residual update, scalar/attention heads (reference:
     local_message_passing.py:53-66)."""
     m = nn.linear(p["lin_rbf_out"], rbf) * m
     m = m * el_mask[:, None]
-    x = x + _agg(m, i, el_mask, num_nodes, tables, "el_dst")
+    x = x + _agg(m, i, el_mask, num_nodes, tables, "el_dst", agg_forward,
+                 scan_impl)
     x = nn.mlp(p["mlp_x2"], x)
 
     x = nn.res(p["res1"], x) + res_x
@@ -320,6 +338,7 @@ def _local_tail(p, x, res_x, m, rbf, i, el_mask, num_nodes, tables):
 def local_mp_s(
     p, x, rbf, sbf, t1_jj, t1_ji, t1_mask, el_src, el_dst, el_mask,
     num_nodes: int, tables: dict | None = None,
+    agg_forward=DEFAULT_AGG_FORWARD, scan_impl: str = "blocked",
 ):
     """Efficient one-hop-only local layer (reference:
     local_message_passing.py:96-123, used by PAMNet_s)."""
@@ -338,5 +357,7 @@ def local_mp_s(
     else:
         b1 = nn.mlp(p["mlp_sbf"], sbf) * t1_mask[:, None]
         m1 = _gath(m_neighbor, t1_jj, tables, "t1_jj") * b1
-    m = m_ji + _agg(m1, t1_ji, t1_mask, num_edges, tables, "t1_ji")
-    return _local_tail(p, x, res_x, m, rbf, i, el_mask, num_nodes, tables)
+    m = m_ji + _agg(m1, t1_ji, t1_mask, num_edges, tables, "t1_ji",
+                    agg_forward, scan_impl)
+    return _local_tail(p, x, res_x, m, rbf, i, el_mask, num_nodes, tables,
+                       agg_forward, scan_impl)

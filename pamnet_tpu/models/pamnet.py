@@ -285,6 +285,7 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
             x, out_g, att_g = L.global_mp(
                 gp, x, edge_attr_rbf_g, g.eg_src, g.eg_dst, eg_mask, cfg.flow,
                 num_nodes, tables=tables, lane_pack=cfg.lane_pack,
+                agg_forward=cfg.agg_forward, scan_impl=cfg.sorted_scan_impl,
             )
             if use_two_hop:
                 x, out_l, att_l = L.local_mp(
@@ -292,12 +293,14 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
                     g.t2_kj, g.t2_ji, t2_mask, g.t1_jj, g.t1_ji, t1_mask,
                     g.el_src, g.el_dst, el_mask, num_nodes,
                     use_pallas=cfg.use_pallas_triplet, tables=tables,
+                    agg_forward=cfg.agg_forward, scan_impl=cfg.sorted_scan_impl,
                 )
             else:
                 x, out_l, att_l = L.local_mp_s(
                     lp, x, edge_attr_rbf_l, edge_attr_sbf,
                     g.t1_jj, g.t1_ji, t1_mask,
                     g.el_src, g.el_dst, el_mask, num_nodes, tables=tables,
+                    agg_forward=cfg.agg_forward, scan_impl=cfg.sorted_scan_impl,
                 )
             return x, (out_g[..., 0], att_g[..., 0], out_l[..., 0], att_l[..., 0])
 
@@ -316,6 +319,7 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
             params["global_layers"][layer],
             x, edge_attr_rbf_g, g.eg_src, g.eg_dst, eg_mask, cfg.flow, num_nodes,
             tables=tables, lane_pack=cfg.lane_pack,
+            agg_forward=cfg.agg_forward, scan_impl=cfg.sorted_scan_impl,
         )
         outs_g.append(out_g)
         atts_g.append(att_g)
@@ -329,6 +333,7 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
                 g.el_src, g.el_dst, el_mask, num_nodes,
                 use_pallas=cfg.use_pallas_triplet,
                 tables=tables,
+                agg_forward=cfg.agg_forward, scan_impl=cfg.sorted_scan_impl,
             )
         else:
             x, out_l, att_l = L.local_mp_s(
@@ -337,6 +342,7 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
                 g.t1_jj, g.t1_ji, t1_mask,
                 g.el_src, g.el_dst, el_mask, num_nodes,
                 tables=tables,
+                agg_forward=cfg.agg_forward, scan_impl=cfg.sorted_scan_impl,
             )
         outs_l.append(out_l)
         atts_l.append(att_l)

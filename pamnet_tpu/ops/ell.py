@@ -99,16 +99,6 @@ def _compensated_cumsum(v):
     return s, e
 
 
-# Sub-f64 sorted-scan implementation: "blocked" (default) = block-local
-# prefixes + a compensated block-level prefix (one short scan over R rows +
-# a tiny one over R/B block sums); "twosum" = global compensated scan
-# (two full-length cumsums + a full-length TwoSum chain).  Equal accuracy
-# (both hold the batch-16 RNA production path at scatter-parity vs the f64
-# oracle); blocked measured faster on v5e (DEVNOTES round-3).
-# MEASUREMENT HOOK, not runtime config: read at TRACE time — flip it BEFORE
-# building a jit wrapper; already-compiled executables keep the scheme they
-# were traced with (tools/tpu_ab.py scanimpl rebuilds per variant).
-SORTED_SCAN_IMPL = "blocked"
 # Block length: 128/256/512 measured equal on v5e (458/455/457 g/s RNA
 # scoring; 1024+ degrade) — 128 wins on the error bound (∝ B) and divides
 # every pad (align=128), so the zero-pad concat never materializes.
@@ -141,8 +131,37 @@ def _blocked_group_sums(v, offsets):
     return hi + lo
 
 
-@jax.custom_vjp
-def segment_sum_sorted(values, seg_ids, row_mask, offsets):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _segment_sum_sorted(impl, values, seg_ids, row_mask, offsets):
+    if jnp.dtype(values.dtype).itemsize >= 8:
+        s = jnp.cumsum(values, axis=0)
+        s = jnp.concatenate([jnp.zeros_like(s[:1]), s], axis=0)
+        return s[offsets[1:]] - s[offsets[:-1]]
+
+    v = values.astype(jnp.float32)
+    if impl == "blocked":
+        return _blocked_group_sums(v, offsets).astype(values.dtype)
+    s, e = _compensated_cumsum(v)
+    out = (s[offsets[1:]] - s[offsets[:-1]]) + (e[offsets[1:]] - e[offsets[:-1]])
+    return out.astype(values.dtype)
+
+
+def _sorted_fwd(impl, values, seg_ids, row_mask, offsets):
+    return _segment_sum_sorted(impl, values, seg_ids, row_mask, offsets), (
+        seg_ids,
+        row_mask,
+    )
+
+
+def _sorted_bwd(impl, res, g):
+    seg_ids, row_mask = res
+    return g[seg_ids] * row_mask[:, None].astype(g.dtype), None, None, None
+
+
+_segment_sum_sorted.defvjp(_sorted_fwd, _sorted_bwd)
+
+
+def segment_sum_sorted(values, seg_ids, row_mask, offsets, impl: str = "blocked"):
     """Segment sum for rows pre-sorted by group: prefix-scan + offset
     differences (no scatter, no gather blow-up).
 
@@ -154,9 +173,11 @@ def segment_sum_sorted(values, seg_ids, row_mask, offsets):
     Precision note: group sums are differences of prefix sums, and a plain
     f32 global prefix loses ~log2(R/K) mantissa bits to cancellation
     (measured 8.9e-4 absolute on batch-16 RNA scores vs 7.5e-6 for
-    scatter-adds).  Sub-f64 streams therefore run a compensated scheme
-    (``SORTED_SCAN_IMPL``, both at scatter-parity accuracy, measured
-    7.5-7.6e-6 on the batch-16 RNA scores):
+    scatter-adds).  Sub-f64 streams therefore run a compensated scheme,
+    selected by ``impl`` (a static argument — part of the trace; the model
+    threads ``PAMNetConfig.sorted_scan_impl`` through, so the choice lives
+    on the hashable jit key rather than in a module global).  Both hold
+    scatter-parity accuracy (7.5-7.6e-6 on the batch-16 RNA scores):
 
     * ``"blocked"`` (default): block-local prefix sums + a TwoSum-
       compensated prefix over the per-block sums (:func:`_blocked_group_sums`)
@@ -173,32 +194,9 @@ def segment_sum_sorted(values, seg_ids, row_mask, offsets):
     collapsed RNA scores to ~half).  f64 (jax x64 oracle paths) keeps a
     plain f64 cumsum.
     """
-    if jnp.dtype(values.dtype).itemsize >= 8:
-        s = jnp.cumsum(values, axis=0)
-        s = jnp.concatenate([jnp.zeros_like(s[:1]), s], axis=0)
-        return s[offsets[1:]] - s[offsets[:-1]]
-
-    v = values.astype(jnp.float32)
-    if SORTED_SCAN_IMPL == "blocked":
-        return _blocked_group_sums(v, offsets).astype(values.dtype)
-    s, e = _compensated_cumsum(v)
-    out = (s[offsets[1:]] - s[offsets[:-1]]) + (e[offsets[1:]] - e[offsets[:-1]])
-    return out.astype(values.dtype)
-
-
-def _sorted_fwd(values, seg_ids, row_mask, offsets):
-    return segment_sum_sorted(values, seg_ids, row_mask, offsets), (
-        seg_ids,
-        row_mask,
-    )
-
-
-def _sorted_bwd(res, g):
-    seg_ids, row_mask = res
-    return g[seg_ids] * row_mask[:, None].astype(g.dtype), None, None, None
-
-
-segment_sum_sorted.defvjp(_sorted_fwd, _sorted_bwd)
+    if impl not in ("blocked", "twosum"):
+        raise ValueError(f"invalid sorted-scan impl: {impl}")
+    return _segment_sum_sorted(impl, values, seg_ids, row_mask, offsets)
 
 
 def build_offsets_np(ids, num_valid: int, num_groups: int):

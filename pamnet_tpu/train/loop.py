@@ -212,7 +212,7 @@ class DeviceDataTrainer:
 
     def __init__(self, cfg: PAMNetConfig, optimizer, loss_kind: str,
                  train_loader, to_device, *, ema_decay: float | None = None,
-                 seed: int = 0, dp: int = 0):
+                 seed: int = 0, dp: int = 0, rotate_every: int = 1):
         import sys
         import time
 
@@ -256,6 +256,28 @@ class DeviceDataTrainer:
             file=sys.stderr,
         )
         self._rng = np.random.default_rng(seed + 1)
+        # Cross-shard rotation (DP only): device-data epochs freeze BOTH the
+        # batch composition and the batch->device assignment (each device
+        # permutes only its own HBM shard), so two batches living in the
+        # same shard can never share an optimizer step — one notch beyond
+        # the single-device composition freeze, and a divergence from the
+        # reference's per-epoch re-batching (main_qm9.py:74-81).  Rolling
+        # the staged batch axis by one shard every ``rotate_every`` epochs
+        # (a single on-device collective-permute per leaf, riding ICI)
+        # rotates every batch through every device, so cross-shard step
+        # pairings vary over epochs.  0 disables.
+        self.rotate_every = max(int(rotate_every), 0)
+        self._epochs_run = 0
+        self._rot = 0
+        if self.dp > 1 and self.rotate_every:
+            local = len(batches) // self.dp
+
+            self._rotate = jax.jit(
+                lambda st: jax.tree.map(
+                    lambda x: jnp.roll(x, local, axis=0), st
+                ),
+                out_shardings=shard,
+            )
 
     def run(self, state: TrainState):
         import numpy as np
@@ -264,18 +286,28 @@ class DeviceDataTrainer:
         if self.dp > 1:
             d = self.dp
             local = nb // d
-            # Per-device permutation of its OWN HBM shard (shard d holds
-            # global batches [d*local, (d+1)*local)).
+            if (self.rotate_every and self._epochs_run
+                    and self._epochs_run % self.rotate_every == 0):
+                self.staged = self._rotate(self.staged)
+                self._rot = (self._rot + 1) % d
+            self._epochs_run += 1
+            # Per-device permutation of its OWN HBM shard.  After r
+            # rotations, shard dev holds the batches originally staged on
+            # shard (dev - r) mod d, i.e. global rows
+            # [((dev - r) mod d) * local, ...) — the counts lookup below
+            # tracks that so the loss accounting stays exact.
             perm = np.stack(
                 [self._rng.permutation(local) for _ in range(d)], axis=1
             ).astype(np.int32)  # (S, D) local indices
             state, losses = self.epoch_fn(state, self.staged,
                                           jnp.asarray(perm))
             losses = np.asarray(losses, np.float64)  # (S,) global means
-            global_rows = perm + np.arange(d)[None, :] * local
+            origin = ((np.arange(d) - self._rot) % d) * local
+            global_rows = perm + origin[None, :]
             step_counts = self.counts[global_rows].sum(axis=1)  # (S,)
             loss_sum = float(losses @ step_counts)
             return state, loss_sum, float(self.counts.sum()), len(losses)
+        self._epochs_run += 1
         perm = self._rng.permutation(nb).astype(np.int32)
         state, losses = self.epoch_fn(state, self.staged, jnp.asarray(perm))
         losses = np.asarray(losses, np.float64)

@@ -189,3 +189,87 @@ def test_tu_writer_roundtrip(tmp_path, rng):
         np.testing.assert_allclose(mol["pos"], g["attrs"], atol=1e-3)
         np.testing.assert_array_equal(mol["z"], g["labels"])
         assert mol["y"] == pytest.approx(g["y"], abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Real-data seam drill (VERDICT r3 #9): fabricated gdb9 raw files through the
+# FULL QM9 driver (main_qm9.py real-data branch, not --synthetic), so the
+# headline-MAE run has no untested seams when real files are staged.
+# Mirrors reference main_qm9.py:61-76 (load + remap + shuffle + split).
+# ---------------------------------------------------------------------------
+
+
+def _sdf_block(name, z, pos, edge_index):
+    """One V2000 SDF block in the fixed-column layout gdb9 uses."""
+    syms = {0: "H", 1: "C", 2: "N", 3: "O", 4: "F", -1: "Si"}
+    bonds = sorted({(min(a, b) + 1, max(a, b) + 1)
+                    for a, b in zip(*edge_index)})
+    lines = [name, "     synthetic          3D", ""]
+    lines.append(f"{len(z):3d}{len(bonds):3d}  0  0  0  0  0  0  0  0999 V2000")
+    for zi, (x, y, w) in zip(z, pos):
+        lines.append(
+            f"{x:10.4f}{y:10.4f}{w:10.4f} {syms[int(zi)]:<3}"
+            "0  0  0  0  0  0  0  0  0  0  0  0"
+        )
+    for a, b in bonds:
+        lines.append(f"{a:3d}{b:3d}  1  0")
+    lines.append("M  END")
+    return "\n".join(lines) + "\n"
+
+
+def _stage_fake_gdb9(root, n_mols=40, bad_index=5, skip_index=11):
+    """Write data/QM9/raw/{gdb9.sdf, gdb9.sdf.csv, uncharacterized.txt}:
+    n_mols blocks, one unparseable (unknown element), one skip-listed."""
+    from pamnet_tpu.data.synthetic import synthetic_qm9_dataset
+
+    raw = os.path.join(root, "data", "QM9", "raw")
+    os.makedirs(raw)
+    mols = synthetic_qm9_dataset(n_mols, seed=77)
+    blocks = []
+    for i, m in enumerate(mols):
+        z = m["z"].copy()
+        if i == bad_index:
+            z = np.full_like(z, -1)  # Si atoms: parser drops the block
+        blocks.append(_sdf_block(f"gdb_{i+1}", z, m["pos"], m["edge_index"]))
+    with open(os.path.join(raw, "gdb9.sdf"), "w") as f:
+        f.write("$$$$\n".join(blocks) + "$$$$\n")
+    rng = np.random.default_rng(3)
+    with open(os.path.join(raw, "gdb9.sdf.csv"), "w") as f:
+        f.write("mol_id," + ",".join(f"p{i}" for i in range(19)) + "\n")
+        for i in range(n_mols):
+            vals = rng.normal(0, 1, 19)
+            f.write(f"gdb_{i+1}," + ",".join(f"{v:.6f}" for v in vals) + "\n")
+    lines = ["hdr"] * 9 + [f"{skip_index + 1}  x", "ftr", ""]
+    with open(os.path.join(raw, "uncharacterized.txt"), "w") as f:
+        f.write("\n".join(lines))
+
+
+def test_main_qm9_real_data_seam(tmp_path):
+    """Full driver over the fabricated raw trio: loads blocks - unparseable -
+    skip-listed molecules, applies the --target remap, trains, checkpoints."""
+    _stage_fake_gdb9(str(tmp_path))
+    r = _run(
+        [os.path.join(REPO, "main_qm9.py"), "--platform", "cpu",
+         "--dataset", "QM9", "--limit", "32", "--target", "7",
+         "--epochs", "1", "--dim", "8", "--n_layer", "1", "--batch_size", "8"],
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    # 40 blocks - 1 unparseable - 1 skip-listed = 38; --limit 32 then 80/10
+    # split (reference split ratios at --limit; main_qm9.py).
+    assert "train=25 val=3 test=4" in r.stdout, r.stdout[-2000:]
+    assert "Best Validation MAE" in r.stdout
+    assert (tmp_path / "save" / "QM9" / "best_model.msgpack").exists()
+    # npz cache written; a second run must hit it (no re-parse) and load the
+    # same counts.
+    processed = tmp_path / "data" / "QM9" / "processed"
+    assert any(processed.glob("*.npz"))
+    (tmp_path / "data" / "QM9" / "raw" / "gdb9.sdf").unlink()  # cache or bust
+    r2 = _run(
+        [os.path.join(REPO, "main_qm9.py"), "--platform", "cpu",
+         "--dataset", "QM9", "--limit", "32", "--target", "7",
+         "--epochs", "1", "--dim", "8", "--n_layer", "1", "--batch_size", "8"],
+        cwd=str(tmp_path),
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "train=25 val=3 test=4" in r2.stdout, r2.stdout[-2000:]

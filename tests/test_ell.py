@@ -125,18 +125,13 @@ def test_sorted_scan_impls_compensate_prefix_cancellation(rng):
     np.add.at(want, ids, vals.astype(np.float64))
 
     outs = {}
-    orig = ell.SORTED_SCAN_IMPL
-    try:
-        for impl in ("blocked", "twosum"):
-            ell.SORTED_SCAN_IMPL = impl
-            outs[impl] = np.asarray(
-                jax.jit(ell.segment_sum_sorted)(
-                    jnp.asarray(vals), jnp.asarray(ids),
-                    jnp.ones(R, jnp.float32), offsets
-                )
-            ).astype(np.float64)
-    finally:
-        ell.SORTED_SCAN_IMPL = orig
+    for impl in ("blocked", "twosum"):
+        outs[impl] = np.asarray(
+            jax.jit(ell.segment_sum_sorted, static_argnames="impl")(
+                jnp.asarray(vals), jnp.asarray(ids),
+                jnp.ones(R, jnp.float32), offsets, impl=impl
+            )
+        ).astype(np.float64)
 
     # Error models: the global TwoSum scan is scatter-parity (compensation
     # holds the pair to ~doubled precision); the blocked scheme's intra-block

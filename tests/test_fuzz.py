@@ -120,28 +120,39 @@ def test_fuzz_routing_matrix(rng):
         np.testing.assert_allclose(
             run(gb, c), ref, rtol=2e-4, atol=2e-5, err_msg=name
         )
-    # AGG_FORWARD="sorted": forward sums via the blocked scan while gathers
+    # agg_forward="sorted": forward sums via the blocked scan while gathers
     # keep their ELL backward (both table kinds present) — the tpu_ab aggfwd
-    # route, flipped BEFORE tracing (the hook is read at trace time).
+    # route, now a hashable PAMNetConfig field (part of the jit key).
     from pamnet_tpu.models import layers
 
-    orig = layers.AGG_FORWARD
-    try:
-        layers.AGG_FORWARD = "sorted"
-        np.testing.assert_allclose(
-            run(gb_tables, dataclasses.replace(cfg, fold_sbf=False)), ref,
-            rtol=2e-4, atol=2e-5, err_msg="sorted_forward_with_ell_tables",
-        )
-        # Per-key mix (the tpu_ab aggmix route, the shipped default): the
-        # skew-padded reductions (triplets + local edge->node) go through the
-        # scan; everything else keeps the ELL K-sum.
-        layers.AGG_FORWARD = frozenset({"t2_ji", "t1_ji", "el_dst"})
-        np.testing.assert_allclose(
-            run(gb_tables, dataclasses.replace(cfg, fold_sbf=False)), ref,
-            rtol=2e-4, atol=2e-5, err_msg="mixed_forward_routing",
-        )
-    finally:
-        layers.AGG_FORWARD = orig
+    # The shipped default routing is the measured per-key mix.
+    assert cfg.agg_forward == layers.DEFAULT_AGG_FORWARD == frozenset(
+        {"t2_ji", "t1_ji", "el_dst"}
+    )
+    np.testing.assert_allclose(
+        run(gb_tables, dataclasses.replace(
+            cfg, fold_sbf=False, agg_forward="sorted")), ref,
+        rtol=2e-4, atol=2e-5, err_msg="sorted_forward_with_ell_tables",
+    )
+    # Per-key mix (the tpu_ab aggmix route, the shipped default): the
+    # skew-padded reductions (triplets + local edge->node) go through the
+    # scan; everything else keeps the ELL K-sum.  Also cover the all-ELL
+    # route and the twosum scan scheme.
+    np.testing.assert_allclose(
+        run(gb_tables, dataclasses.replace(cfg, fold_sbf=False)), ref,
+        rtol=2e-4, atol=2e-5, err_msg="mixed_forward_routing",
+    )
+    np.testing.assert_allclose(
+        run(gb_tables, dataclasses.replace(
+            cfg, fold_sbf=False, agg_forward="ell")), ref,
+        rtol=2e-4, atol=2e-5, err_msg="all_ell_forward_routing",
+    )
+    np.testing.assert_allclose(
+        run(gb_tables, dataclasses.replace(
+            cfg, fold_sbf=False, agg_forward="sorted",
+            sorted_scan_impl="twosum")), ref,
+        rtol=2e-4, atol=2e-5, err_msg="twosum_scan_impl",
+    )
     bf16 = run(gb_offsets, dataclasses.replace(cfg, compute_dtype="bfloat16"))
     np.testing.assert_allclose(bf16, ref, rtol=5e-2, atol=5e-2,
                                err_msg="bf16_offsets")

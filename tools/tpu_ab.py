@@ -23,7 +23,7 @@ Experiments (select with argv[1:], default: dtype):
   scan    RNA scoring (fold+fuse+ladder): compensated prefix-scan segment
           sums vs plain XLA scatter-adds (both exact; pure speed question).
   scanimpl RNA scoring: blocked two-level scan vs global TwoSum scan
-          (ops/ell.py SORTED_SCAN_IMPL; both compensated, pure speed).
+          (PAMNetConfig.sorted_scan_impl; both compensated, pure speed).
   aggfwd  QM9 recipe (bf16): forward segment sums via ELL K-sum vs blocked
           sorted scan, with ELL gather backwards kept in both variants.
   aggmix  like aggfwd but at the shipped balanced-pads config, adding the
@@ -538,7 +538,7 @@ def _rna_production_setup():
 def _score_rna(exp, variant, cfg, params, mols, batches):
     """Best-of-3 x 10-rep chained-accumulator scoring run (the DEVNOTES
     honest-fetch timing contract), building a FRESH jit wrapper so
-    trace-time hooks (AGG_FORWARD, SORTED_SCAN_IMPL) are re-read."""
+    per-config routing (cfg.agg_forward / cfg.sorted_scan_impl) is re-traced."""
     from pamnet_tpu.models import apply_pamnet
 
     fwd = jax.jit(lambda p, g, acc: acc + apply_pamnet(p, g, cfg).sum())
@@ -584,15 +584,13 @@ def exp_scan():
 
 def exp_aggfwd():
     """Forward segment-sum routing at the QM9 bf16 recipe when batches carry
-    BOTH ELL tables and sorted offsets (models/layers.py AGG_FORWARD):
+    BOTH ELL tables and sorted offsets (PAMNetConfig.agg_forward):
     ELL gather + dense K-sum (G*K random rows, K rounded to 8) vs the
     blocked prefix scan (streams the R sorted rows once).  Gathers keep
     their scatter-free ELL backward in BOTH variants — round 1's
     "sorted 6,957 < ell 9,937" comparison dropped the tables entirely,
     losing the gather backwards to scatter-adds; this isolates the forward
     reduction."""
-    from pamnet_tpu.models import layers
-
     cfg = PAMNetConfig(dataset="QM9", dim=128, n_layer=6, cutoff_l=5.0,
                        cutoff_g=5.0, compute_dtype="bfloat16")
     bs = 32
@@ -606,16 +604,11 @@ def exp_aggfwd():
                                clip_norm=1000.0)
     state = init_train_state(params, optimizer, use_ema=True)
 
-    orig = layers.AGG_FORWARD
-    try:
-        layers.AGG_FORWARD = "ell"
-        a = _run_scan("aggfwd", "ell", cfg, state, tiled, n_steps, bs)
-        layers.AGG_FORWARD = "sorted"
-        b = _run_scan("aggfwd", "sorted", cfg, state, tiled, n_steps, bs)
-        layers.AGG_FORWARD = "ell"
-        a2 = _run_scan("aggfwd", "ell_again", cfg, state, tiled, n_steps, bs)
-    finally:
-        layers.AGG_FORWARD = orig
+    ell_cfg = dataclasses.replace(cfg, agg_forward="ell")
+    sorted_cfg = dataclasses.replace(cfg, agg_forward="sorted")
+    a = _run_scan("aggfwd", "ell", ell_cfg, state, tiled, n_steps, bs)
+    b = _run_scan("aggfwd", "sorted", sorted_cfg, state, tiled, n_steps, bs)
+    a2 = _run_scan("aggfwd", "ell_again", ell_cfg, state, tiled, n_steps, bs)
     print(f"AB aggfwd sorted_vs_ell={b/max(a,a2):.3f}x")
 
 
@@ -626,21 +619,15 @@ def exp_scanimpl():
     global TwoSum scan (two full-length cumsums + a full-length elementwise
     TwoSum chain).  Accuracy of both is locked by tests/test_ell.py and the
     production parity suite; this measures pure speed."""
-    from pamnet_tpu.ops import ell
-
     cfg, params, mols, batches = _rna_production_setup()
 
     def run(variant, impl):
-        ell.SORTED_SCAN_IMPL = impl
-        return _score_rna("scanimpl", variant, cfg, params, mols, batches)
+        c = dataclasses.replace(cfg, sorted_scan_impl=impl)
+        return _score_rna("scanimpl", variant, c, params, mols, batches)
 
-    orig = ell.SORTED_SCAN_IMPL
-    try:
-        a = run("twosum", "twosum")
-        b = run("blocked", "blocked")
-        a2 = run("twosum_again", "twosum")
-    finally:
-        ell.SORTED_SCAN_IMPL = orig
+    a = run("twosum", "twosum")
+    b = run("blocked", "blocked")
+    a2 = run("twosum_again", "twosum")
     print(f"AB scanimpl blocked_vs_twosum={b/max(a,a2):.3f}x")
 
 
@@ -652,8 +639,6 @@ def exp_aggmix():
     the triplet reductions (t2_ji/t1_ji) through the blocked sorted scan and
     keep the big well-packed tables on the ELL K-sum.  The round-3 aggfwd
     A/B was all-or-nothing and pre-dated balanced pads."""
-    from pamnet_tpu.models import layers
-
     cfg = PAMNetConfig(dataset="QM9", dim=128, n_layer=6, cutoff_l=5.0,
                        cutoff_g=5.0, compute_dtype="bfloat16")
     bs = 32
@@ -669,20 +654,17 @@ def exp_aggmix():
                                clip_norm=1000.0)
     state = init_train_state(params, optimizer, use_ema=True)
 
-    orig = layers.AGG_FORWARD
-    try:
-        layers.AGG_FORWARD = "ell"
-        a = _run_scan("aggmix", "ell", cfg, state, tiled, n_steps, bs)
-        layers.AGG_FORWARD = frozenset({"t2_ji", "t1_ji"})
-        b = _run_scan("aggmix", "mix_triplets", cfg, state, tiled, n_steps, bs)
-        layers.AGG_FORWARD = frozenset({"t2_ji", "t1_ji", "el_dst"})
-        d = _run_scan("aggmix", "mix_triplets_el", cfg, state, tiled, n_steps, bs)
-        layers.AGG_FORWARD = "sorted"
-        c = _run_scan("aggmix", "sorted", cfg, state, tiled, n_steps, bs)
-        layers.AGG_FORWARD = "ell"
-        a2 = _run_scan("aggmix", "ell_again", cfg, state, tiled, n_steps, bs)
-    finally:
-        layers.AGG_FORWARD = orig
+    def v(agg):
+        return dataclasses.replace(cfg, agg_forward=agg)
+
+    a = _run_scan("aggmix", "ell", v("ell"), state, tiled, n_steps, bs)
+    b = _run_scan("aggmix", "mix_triplets", v(frozenset({"t2_ji", "t1_ji"})),
+                  state, tiled, n_steps, bs)
+    d = _run_scan("aggmix", "mix_triplets_el",
+                  v(frozenset({"t2_ji", "t1_ji", "el_dst"})),
+                  state, tiled, n_steps, bs)
+    c = _run_scan("aggmix", "sorted", v("sorted"), state, tiled, n_steps, bs)
+    a2 = _run_scan("aggmix", "ell_again", v("ell"), state, tiled, n_steps, bs)
     base = max(a, a2)
     print(f"AB aggmix mix_vs_ell={b/base:.3f}x mix_el_vs_ell={d/base:.3f}x "
           f"sorted_vs_ell={c/base:.3f}x")
