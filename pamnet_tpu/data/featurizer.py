@@ -36,9 +36,12 @@ are therefore confined to *perception*, not pattern semantics:
   sp3); suffix-less types of the organic elements OpenBabel's HYB table
   covers (B/C/N/O/Si/P/S/As/Se) are perceived from their bond orders, and
   suffix-less halogen/metal/ion types keep hyb 0;
-* aromaticity = SYBYL ``.ar`` types / ``ar`` bonds rather than OpenBabel's
-  aromaticity model (OpenBabel's mol2 reader also trusts the file's
-  aromatic markings).
+* aromaticity = SYBYL ``.ar`` types / ``ar`` bonds PLUS a per-ring
+  Hueckel perception (``_huckel_aromatic``) so Kekule-written rings
+  (alternating 1/2 bonds, no aromatic marks) perceive aromatic like
+  OpenBabel, which re-runs its own aromaticity model on read; envelope
+  aromaticity of fused systems whose individual rings each fail Hueckel
+  (azulene) is not modeled — registered divergence.
 
 ``pamnet_tpu/data/featurizer_divergences.py`` enumerates the concrete
 divergence cases these approximations produce, machine-checkable on any
@@ -166,6 +169,88 @@ _ORDER_VALENCE = {
 }
 
 
+# Elements that can sit on an aromatic ring in the Hueckel perception below
+# (sp2-capable p-block set; metals/others fail the ring).
+_AROMATIC_ELEMENTS = {5, 6, 7, 8, 15, 16, 33, 34}
+
+
+def _simple_cycles(n: int, adj, min_len: int = 3, max_len: int = 7):
+    """All simple cycles of length [min_len, max_len] as atom frozensets.
+
+    Bounded DFS anchored at each cycle's minimal vertex (paths only visit
+    atoms > start), deduped across direction by the atom set.  Molecular
+    graphs are near-planar with degree <= 4, so this is cheap at PDBbind
+    pocket sizes; a global cap guards pathological inputs."""
+    cycles: set[frozenset] = set()
+    for start in range(n):
+        stack = [(start, (start,))]
+        while stack:
+            v, path = stack.pop()
+            for w in adj[v]:
+                if w == start and len(path) >= min_len:
+                    cycles.add(frozenset(path))
+                elif w > start and w not in path and len(path) < max_len:
+                    stack.append((w, path + (w,)))
+            if len(cycles) > 20000:  # pathological density guard
+                return cycles
+    return cycles
+
+
+def _huckel_aromatic(n: int, z, nbrs) -> np.ndarray:
+    """OpenBabel-style aromaticity perception over the bond graph, so
+    Kekule-written files (no ``.ar`` types / ``ar`` bonds) perceive like
+    OpenBabel, which re-runs its aromaticity model on read rather than
+    trusting the file (reference featurizer feeds the ``[a]`` pattern,
+    utils/featurizer.py:124-131).
+
+    Per-ring Hueckel (the Daylight-style model OpenBabel 3 implements): a
+    simple cycle is aromatic when every member is an sp2-capable p-block
+    atom with no triple/cumulated-double bonds, and the pi-electron count
+    hits 4n+2, with contributions: double or ``ar`` bond to a ring member
+    -> 1; exocyclic double bond -> 0 (still sp2, e.g. quinone carbons);
+    otherwise a lone pair -> 2 for N/O/S/Se/P with all-single bonds
+    (pyrrole/furan/thiophene); saturated C fails the ring.  Envelope
+    aromaticity of fused systems whose individual rings each fail (azulene)
+    is NOT modeled — registered as an expected divergence
+    (featurizer_divergences.py)."""
+    arom = np.zeros(n, dtype=bool)
+    adj = [[w for w, _ in nbrs[v]] for v in range(n)]
+    for ring in _simple_cycles(n, adj):
+        pi = 0
+        ok = True
+        for v in ring:
+            if int(z[v]) not in _AROMATIC_ELEMENTS:
+                ok = False
+                break
+            doubles_in = doubles_out = ar_in = 0
+            for w, o in nbrs[v]:
+                if o == "3":
+                    ok = False
+                    break
+                if o == "2":
+                    if w in ring:
+                        doubles_in += 1
+                    else:
+                        doubles_out += 1
+                elif o == "ar" and w in ring:
+                    ar_in += 1
+            if not ok or doubles_in + doubles_out > 1:
+                break  # sp / cumulated double: not aromatic-capable
+            if doubles_in or ar_in:
+                pi += 1
+            elif doubles_out:
+                pi += 0  # sp2 but contributes no ring electrons (quinone C)
+            elif int(z[v]) in (7, 8, 15, 16, 34):
+                pi += 2  # lone pair (pyrrole N, furan O, thiophene S)
+            else:
+                ok = False  # saturated C/B: breaks conjugation
+                break
+        if ok and pi % 4 == 2:
+            for v in ring:
+                arom[v] = True
+    return arom
+
+
 def _ring_atoms(n: int, bonds) -> np.ndarray:
     """Atoms lying on at least one cycle.
 
@@ -234,8 +319,13 @@ def perceive_mol2(mol: Mol2) -> PerceivedMol:
 
     # Case-insensitive like every other SYBYL-suffix check here (writers
     # emit "C.ar"/"C.AR" variants; OpenBabel's typer is case-insensitive).
-    aromatic = arom_bond | np.array(
-        [s.lower().endswith(".ar") for s in mol.sybyl], dtype=bool
+    # File markings are trusted AND the Hueckel model runs on top, so
+    # Kekule-written rings (benzene as alternating 1/2 bonds) perceive
+    # aromatic like OpenBabel's on-read re-perception.
+    aromatic = (
+        arom_bond
+        | np.array([s.lower().endswith(".ar") for s in mol.sybyl], dtype=bool)
+        | _huckel_aromatic(n, z, nbrs)
     )
     conn = np.array([len(nbrs[v]) for v in range(n)], dtype=np.int64)
     num_h = np.array(
