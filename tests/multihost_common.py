@@ -11,9 +11,9 @@ CFG = PAMNetConfig(dataset="QM9", dim=16, n_layer=1)
 
 # Fully pinned pads (including ELL table widths) so every process compiles
 # the identical program.
-PADS = PadSizes(n=128, eg=1024, el=128, t2=256, t1=256, g=8,
-                kg_dst=32, kg_src=32, kl_dst=8, kl_src=8,
-                k2_ji=8, k2_kj=8, k1_ji=8, k1_jj=8)
+PADS = PadSizes(n=128, eg=2048, el=256, t2=512, t1=512, g=8,
+                kg_dst=32, kg_src=32, kl_dst=16, kl_src=16,
+                k2_ji=16, k2_kj=16, k1_ji=16, k1_jj=16)
 
 
 def make_batches(n_devices: int = 2):

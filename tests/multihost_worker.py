@@ -1,8 +1,13 @@
 """Worker process for the multi-host DCN smoke test (launched by
 test_multihost.py): initializes jax.distributed over localhost, runs the
-real data-parallel train step on a 2-process global mesh, prints the losses.
+real data-parallel train step on a multi-process global mesh, prints the
+losses.
 
-Usage: python multihost_worker.py <process_id> <num_processes> <port>
+Usage: python multihost_worker.py <process_id> <num_processes> <port> [ndev]
+
+``ndev`` (default 1) = virtual CPU devices PER PROCESS, so 2x2 exercises a
+mesh whose "dp" axis spans both intra-process devices and the DCN process
+boundary — the realistic multi-host topology (VERDICT r3 #7).
 """
 
 import sys
@@ -11,10 +16,12 @@ import numpy as np
 
 import jax
 
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+ndev = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
-
-pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+jax.config.update("jax_num_cpu_devices", ndev)
 
 from pamnet_tpu.parallel import initialize_distributed  # noqa: E402
 
@@ -22,22 +29,27 @@ initialize_distributed(
     coordinator_address=f"localhost:{port}", num_processes=nproc, process_id=pid
 )
 
-import jax.numpy as jnp  # noqa: E402
+import jax.numpy as jnp  # noqa: E402, F401
 from jax.experimental import multihost_utils  # noqa: E402
 from jax.sharding import PartitionSpec as P  # noqa: E402
 
-from multihost_common import make_batches, CFG, PADS  # noqa: E402
+from multihost_common import make_batches, CFG, PADS  # noqa: E402, F401
 from pamnet_tpu.models import init_pamnet  # noqa: E402
 from pamnet_tpu.train.loop import (  # noqa: E402
     init_train_state, make_dp_train_step, make_mesh, make_optimizer,
 )
 
-assert jax.device_count() == nproc, (jax.device_count(), nproc)
-assert jax.local_device_count() == 1
+total = nproc * ndev
+assert jax.device_count() == total, (jax.device_count(), total)
+assert jax.local_device_count() == ndev
 
-mesh = make_mesh(nproc)
-batches = make_batches()  # identical on every process (seeded)
-local = jax.tree.map(lambda x: np.asarray(x)[None], batches[pid])
+mesh = make_mesh(total)
+batches = make_batches(total)  # identical on every process (seeded)
+# This process's shard of the global batch axis: its ndev local microbatches.
+local = jax.tree.map(
+    lambda *xs: np.stack([np.asarray(x) for x in xs]),
+    *batches[pid * ndev:(pid + 1) * ndev],
+)
 global_batch = multihost_utils.host_local_array_to_global_array(
     local, mesh, P("dp")
 )
