@@ -319,6 +319,41 @@ class Data:
             setattr(self, k, v)
 
 
+def load_reference_module(name: str):
+    """Import a reference module beyond models.py (e.g. ``utils.ema``) with
+    the shims active — the reference's own code, unmodified."""
+    import importlib
+
+    install_shims()
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        return importlib.import_module(name)
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+
+
+def mols_to_data(mols: list[dict], kind: str, dtype=torch.float64) -> Data:
+    """A list of pamnet_tpu molecule dicts -> ONE reference-convention batched
+    Data, replicating the PyG DataLoader collate the reference drivers use
+    (node concat, edge_index offset by node counts, per-node ``batch`` vector,
+    stacked ``y``; main_qm9.py:74-81)."""
+    parts = [mol_to_data(m, kind, dtype) for m in mols]
+    n_nodes = [p.x.size(0) for p in parts]
+    offs = np.concatenate([[0], np.cumsum(n_nodes)[:-1]])
+    x = torch.cat([p.x for p in parts])
+    batch = torch.cat(
+        [torch.full((n,), g, dtype=torch.long) for g, n in enumerate(n_nodes)]
+    )
+    y = torch.tensor([float(m["y"]) for m in mols], dtype=dtype)
+    kw = dict(x=x, batch=batch, y=y)
+    if kind == "qm9":
+        kw["pos"] = torch.cat([p.pos for p in parts])
+        kw["edge_index"] = torch.cat(
+            [p.edge_index + int(o) for p, o in zip(parts, offs)], dim=1
+        )
+    return Data(**kw)
+
+
 def mol_to_data(mol: dict, kind: str, dtype=torch.float64) -> Data:
     """One pamnet_tpu molecule dict -> reference-convention Data (batch of 1).
 
