@@ -124,29 +124,20 @@ def bench_epoch():
     reference epochs time data loading too, main_qm9.py:99-132)."""
     import numpy as np
 
-    import jax
-
-    from pamnet_tpu.config import PAMNetConfig
     from pamnet_tpu.data.loader import GraphLoader
     from pamnet_tpu.data.synthetic import synthetic_qm9_dataset
-    from pamnet_tpu.models import init_pamnet
     from pamnet_tpu.train.loop import (
         EpochRunner,
         StackedEval,
-        init_train_state,
         make_multistep_eval,
-        make_optimizer,
     )
-    from pamnet_tpu.train.schedules import warmup_exponential
+    from pamnet_tpu.utils.recipe import QM9_RECIPE, qm9_bench_config, qm9_train_state
     from pamnet_tpu.utils.wirepack import stage as to_device
 
-    batch_size = 32
+    batch_size = QM9_RECIPE["batch_size"]
     n_train = int(os.environ.get("PAMNET_BENCH_EPOCH_MOLS", 4096))
     n_val = max(n_train // 8, batch_size)
-    cfg = PAMNetConfig(dataset="QM9", dim=128, n_layer=6, cutoff_l=5.0,
-                       cutoff_g=5.0,
-                       compute_dtype=os.environ.get("PAMNET_BENCH_DTYPE",
-                                                    "bfloat16"))
+    cfg = qm9_bench_config()
     mols = synthetic_qm9_dataset(n_train + n_val, seed=481)
     t0 = time.time()
     train_loader = GraphLoader(mols[:n_train], "qm9", cfg.cutoff_l,
@@ -158,13 +149,9 @@ def bench_epoch():
     print(f"epoch-wall: structure build {time.time()-t0:.1f}s "
           f"(train={n_train} val={n_val})", file=sys.stderr)
 
-    params = init_pamnet(jax.random.PRNGKey(480), cfg)
-    optimizer = make_optimizer(
-        warmup_exponential(1e-4, steps_per_epoch=len(train_loader)),
-        clip_norm=1000.0,
-    )
-    state = init_train_state(params, optimizer, use_ema=True)
-    runner = EpochRunner(cfg, optimizer, "l1", ema_decay=0.999, scan_steps=16)
+    _, optimizer, state = qm9_train_state(cfg, len(train_loader))
+    runner = EpochRunner(cfg, optimizer, "l1",
+                         ema_decay=QM9_RECIPE["ema_decay"], scan_steps=16)
     val_eval = StackedEval(make_multistep_eval(cfg), val_loader, to_device)
 
     t0 = time.time()
@@ -212,31 +199,23 @@ def bench_qm9():
     import jax
     import jax.numpy as jnp
 
-    from pamnet_tpu.config import PAMNetConfig
-    from pamnet_tpu.data.batch import PadSizes
     from pamnet_tpu.data.loader import GraphLoader
     from pamnet_tpu.data.synthetic import synthetic_qm9_dataset
-    from pamnet_tpu.models import count_parameters, init_pamnet
-    from pamnet_tpu.train.loop import (
-        init_train_state,
-        make_optimizer,
-        make_train_step,
-    )
-    from pamnet_tpu.train.schedules import warmup_exponential
+    from pamnet_tpu.models import count_parameters
+    from pamnet_tpu.utils.recipe import QM9_RECIPE, qm9_bench_config, qm9_train_state
 
-    batch_size = int(os.environ.get("PAMNET_BENCH_BATCH", 32))
-    dim = int(os.environ.get("PAMNET_BENCH_DIM", 128))
-    n_layer = int(os.environ.get("PAMNET_BENCH_LAYERS", 6))
-    compute_dtype = os.environ.get("PAMNET_BENCH_DTYPE", "bfloat16")
+    batch_size = int(os.environ.get("PAMNET_BENCH_BATCH",
+                                    QM9_RECIPE["batch_size"]))
     # PAMNET_BENCH_MODEL=PAMNet_s benches the one-hop efficiency variant
     # (reference models.py:227-353) at the same recipe.
     variant = "s" if os.environ.get("PAMNET_BENCH_MODEL") == "PAMNet_s" else "full"
     n_mols = 16 * batch_size
     steps = int(os.environ.get("PAMNET_BENCH_STEPS", 512))
 
-    cfg = PAMNetConfig(dataset="QM9", dim=dim, n_layer=n_layer,
-                       cutoff_l=5.0, cutoff_g=5.0, compute_dtype=compute_dtype,
-                       variant=variant)
+    env_int = lambda k: int(os.environ[k]) if k in os.environ else None
+    cfg = qm9_bench_config(dim=env_int("PAMNET_BENCH_DIM"),
+                           n_layer=env_int("PAMNET_BENCH_LAYERS"),
+                           variant=variant)
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     mols = synthetic_qm9_dataset(n_mols, seed=480)
@@ -265,12 +244,8 @@ def bench_qm9():
         if i >= 7:
             break
 
-    params = init_pamnet(jax.random.PRNGKey(480), cfg)
+    params, optimizer, state = qm9_train_state(cfg, len(loader))
     print(f"params: {count_parameters(params):,}", file=sys.stderr)
-    optimizer = make_optimizer(
-        warmup_exponential(1e-4, steps_per_epoch=len(loader)), clip_norm=1000.0
-    )
-    state = init_train_state(params, optimizer, use_ema=True)
 
     # On-device multi-step training (lax.scan over a block of batches): one
     # dispatch per S steps, measuring true device throughput rather than
@@ -284,7 +259,8 @@ def bench_qm9():
     reps = max(steps // S, 1)
     stacked = stack_microbatches(batches)  # (S, ...)
     tiled = jax.tree.map(lambda x: jnp.concatenate([x] * reps), stacked)
-    run = make_multistep_train_step(cfg, optimizer, "l1", ema_decay=0.999)
+    run = make_multistep_train_step(cfg, optimizer, "l1",
+                                    ema_decay=QM9_RECIPE["ema_decay"])
 
     # Warmup / compile.  NOTE: timing must end with a host fetch of a scalar
     # that depends on the whole computation — on this pool's tunneled TPU,

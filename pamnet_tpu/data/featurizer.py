@@ -234,8 +234,11 @@ def _huckel_aromatic(n: int, z, nbrs) -> np.ndarray:
                         doubles_out += 1
                 elif o == "ar" and w in ring:
                     ar_in += 1
-            if not ok or doubles_in + doubles_out > 1:
-                break  # sp / cumulated double: not aromatic-capable
+            if not ok:
+                break
+            if doubles_in + doubles_out > 1:
+                ok = False  # sp / cumulated double: not aromatic-capable
+                break
             if doubles_in or ar_in:
                 pi += 1
             elif doubles_out:

@@ -346,6 +346,45 @@ GASTEIGER
         ),
     ),
     Divergence(
+        name="sulfone-ring-not-aromatic",
+        mol2="""\
+@<TRIPOS>MOLECULE
+thiophene_dioxide
+7 7 1
+SMALL
+GASTEIGER
+@<TRIPOS>ATOM
+  1 C1  1.250  0.800  0.000 C.2  1 TDO -0.10
+  2 C2  1.250 -0.800  0.000 C.2  1 TDO -0.10
+  3 S1  0.000  0.000  0.500 S.O2 1 TDO  0.40
+  4 C3 -0.450  1.320  0.000 C.2  1 TDO -0.10
+  5 C4 -0.450 -1.320  0.000 C.2  1 TDO -0.10
+  6 O1  0.000  1.100  1.700 O.2  1 TDO -0.30
+  7 O2  0.000 -1.100  1.700 O.2  1 TDO -0.30
+@<TRIPOS>BOND
+  1 1 2 2
+  2 2 3 1
+  3 3 5 1
+  4 5 4 1
+  5 4 1 1
+  6 3 6 2
+  7 3 7 2
+""",
+        atom=0,
+        feature="aromatic",
+        ours=0.0,
+        openbabel=0.0,
+        confidence="certain",
+        reason=(
+            "Kekule thiophene-1,1-dioxide: the sulfone S carries two "
+            "exocyclic doubles (cumulated), which disqualifies the ring. "
+            "Regression guard for a round-4 defect where the cumulated "
+            "check broke out of the ring loop WITHOUT clearing ok, so the "
+            "partial pi count (2 from the C=C walked before reaching S) "
+            "passed 4n+2 and falsely marked the ring aromatic."
+        ),
+    ),
+    Divergence(
         name="n4-unprotonated-acceptor",
         mol2="""\
 @<TRIPOS>MOLECULE

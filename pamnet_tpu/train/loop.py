@@ -272,11 +272,19 @@ class DeviceDataTrainer:
         if self.dp > 1 and self.rotate_every:
             local = len(batches) // self.dp
 
+            # Donate the staged pytree so the rotation reuses its HBM
+            # buffers: device_data stages the full train split, and without
+            # donation each rotation transiently holds TWO copies of it —
+            # an OOM for splits sized near half of per-chip HBM.  (Round-1
+            # DEVNOTES recorded donation failing on the axon tunnel; a
+            # round-4 re-probe shows the current stack accepts it.  CPU
+            # ignores donation with a warning.)
             self._rotate = jax.jit(
                 lambda st: jax.tree.map(
                     lambda x: jnp.roll(x, local, axis=0), st
                 ),
                 out_shardings=shard,
+                donate_argnums=(0,),
             )
 
     def run(self, state: TrainState):

@@ -43,22 +43,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from pamnet_tpu.config import PAMNetConfig
     from pamnet_tpu.data.loader import GraphLoader
     from pamnet_tpu.data.synthetic import synthetic_qm9_dataset
-    from pamnet_tpu.models import init_pamnet
-    from pamnet_tpu.train.loop import (
-        init_train_state, make_multistep_train_step, make_optimizer,
-        stack_microbatches,
-    )
-    from pamnet_tpu.train.schedules import warmup_exponential
+    from pamnet_tpu.train.loop import make_multistep_train_step, stack_microbatches
+    from pamnet_tpu.utils.recipe import QM9_RECIPE, qm9_bench_config, qm9_train_state
     from pamnet_tpu.utils.runtime import enable_compilation_cache
 
     enable_compilation_cache()
-    batch_size, dim, n_layer, steps = 32, 128, 6, 512
-    dtype = os.environ.get("PAMNET_BENCH_DTYPE", "bfloat16")
-    cfg = PAMNetConfig(dataset="QM9", dim=dim, n_layer=n_layer, cutoff_l=5.0,
-                       cutoff_g=5.0, compute_dtype=dtype)
+    # Single-sourced with bench.py's contract line (pamnet_tpu/utils/recipe.py)
+    # so this roofline always prices the program the bench ships.
+    batch_size, steps = QM9_RECIPE["batch_size"], 512
+    cfg = qm9_bench_config()
+    dim, n_layer, dtype = cfg.dim, cfg.n_layer, cfg.compute_dtype
     mols = synthetic_qm9_dataset(16 * batch_size, seed=480)
     loader = GraphLoader(mols, "qm9", cfg.cutoff_l, cfg.cutoff_g,
                          batch_size=batch_size, shuffle=False, drop_last=True,
@@ -67,16 +63,13 @@ def main():
     print(f"pads: {pads}", file=sys.stderr)
     batches = [jax.tree.map(jnp.asarray, gb) for gb in loader][:8]
 
-    params = init_pamnet(jax.random.PRNGKey(480), cfg)
-    optimizer = make_optimizer(
-        warmup_exponential(1e-4, steps_per_epoch=len(loader)), clip_norm=1000.0
-    )
-    state = init_train_state(params, optimizer, use_ema=True)
+    _, optimizer, state = qm9_train_state(cfg, len(loader))
     S = len(batches)
     reps = steps // S
     stacked = stack_microbatches(batches)
     tiled = jax.tree.map(lambda x: jnp.concatenate([x] * reps), stacked)
-    run = make_multistep_train_step(cfg, optimizer, "l1", ema_decay=0.999)
+    run = make_multistep_train_step(cfg, optimizer, "l1",
+                                    ema_decay=QM9_RECIPE["ema_decay"])
 
     # ---- XLA cost model of the compiled block ----
     # NOTE on loop semantics: the 512-step scan lowers to ONE while loop and
