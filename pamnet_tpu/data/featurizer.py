@@ -36,12 +36,14 @@ are therefore confined to *perception*, not pattern semantics:
   sp3); suffix-less types of the organic elements OpenBabel's HYB table
   covers (B/C/N/O/Si/P/S/As/Se) are perceived from their bond orders, and
   suffix-less halogen/metal/ion types keep hyb 0;
-* aromaticity = SYBYL ``.ar`` types / ``ar`` bonds PLUS a per-ring
-  Hueckel perception (``_huckel_aromatic``) so Kekule-written rings
-  (alternating 1/2 bonds, no aromatic marks) perceive aromatic like
-  OpenBabel, which re-runs its own aromaticity model on read; envelope
-  aromaticity of fused systems whose individual rings each fail Hueckel
-  (azulene) is not modeled — registered divergence.
+* aromaticity = SYBYL ``.ar`` types / ``ar`` bonds PLUS a Hueckel
+  perception (``_huckel_aromatic``) so Kekule-written rings (alternating
+  1/2 bonds, no aromatic marks) perceive aromatic like OpenBabel, which
+  re-runs its own aromaticity model on read: per-ring 4n+2 over simple
+  3-7 cycles plus a fused-ENVELOPE pass (edge-sharing rings union into
+  systems tested with the same per-atom pi model), so azulene's 10-pi
+  bicyclic marks aromatic while pentalene (8 pi) stays out — both
+  registry-locked fixtures.
 
 ``pamnet_tpu/data/featurizer_divergences.py`` enumerates the concrete
 divergence cases these approximations produce, machine-checkable on any
@@ -196,6 +198,44 @@ def _simple_cycles(n: int, adj, min_len: int = 3, max_len: int = 7):
     return cycles
 
 
+def _ring_pi(ring, z, nbrs):
+    """Pi-electron count an atom set contributes to its (ring or fused-
+    envelope) conjugated system, or ``None`` if any member disqualifies it.
+
+    Per-atom contributions (the Daylight-style model OpenBabel 3
+    implements): double or ``ar`` bond to another member -> 1; exocyclic
+    double bond -> 0 (still sp2, e.g. quinone carbons); otherwise a lone
+    pair -> 2 for N/O/S/Se/P with all-single bonds (pyrrole/furan/
+    thiophene).  Disqualifiers: non-sp2-capable element, triple or
+    cumulated double bonds, saturated C."""
+    pi = 0
+    for v in ring:
+        if int(z[v]) not in _AROMATIC_ELEMENTS:
+            return None
+        doubles_in = doubles_out = ar_in = 0
+        for w, o in nbrs[v]:
+            if o == "3":
+                return None
+            if o == "2":
+                if w in ring:
+                    doubles_in += 1
+                else:
+                    doubles_out += 1
+            elif o == "ar" and w in ring:
+                ar_in += 1
+        if doubles_in + doubles_out > 1:
+            return None  # sp / cumulated double: not aromatic-capable
+        if doubles_in or ar_in:
+            pi += 1
+        elif doubles_out:
+            pi += 0  # sp2 but contributes no ring electrons (quinone C)
+        elif int(z[v]) in (7, 8, 15, 16, 34):
+            pi += 2  # lone pair (pyrrole N, furan O, thiophene S)
+        else:
+            return None  # saturated C/B: breaks conjugation
+    return pi
+
+
 def _huckel_aromatic(n: int, z, nbrs) -> np.ndarray:
     """OpenBabel-style aromaticity perception over the bond graph, so
     Kekule-written files (no ``.ar`` types / ``ar`` bonds) perceive like
@@ -203,53 +243,48 @@ def _huckel_aromatic(n: int, z, nbrs) -> np.ndarray:
     trusting the file (reference featurizer feeds the ``[a]`` pattern,
     utils/featurizer.py:124-131).
 
-    Per-ring Hueckel (the Daylight-style model OpenBabel 3 implements): a
-    simple cycle is aromatic when every member is an sp2-capable p-block
-    atom with no triple/cumulated-double bonds, and the pi-electron count
-    hits 4n+2, with contributions: double or ``ar`` bond to a ring member
-    -> 1; exocyclic double bond -> 0 (still sp2, e.g. quinone carbons);
-    otherwise a lone pair -> 2 for N/O/S/Se/P with all-single bonds
-    (pyrrole/furan/thiophene); saturated C fails the ring.  Envelope
-    aromaticity of fused systems whose individual rings each fail (azulene)
-    is NOT modeled — registered as an expected divergence
-    (featurizer_divergences.py)."""
+    Two passes of the same 4n+2 test (:func:`_ring_pi`):
+
+    1. every simple 3-7 cycle on its own (benzene, pyridine, thiophene...);
+    2. fused-ring ENVELOPES — base cycles sharing >= 2 atoms (an edge, for
+       simple cycles) union into systems, and a system whose combined atom
+       set passes 4n+2 marks all members.  This is what makes azulene
+       aromatic (each of the 5/7 rings fails alone; the fused 10-atom
+       system counts 10 pi), while pentalene (8 pi) and biphenylene
+       (12 pi) envelopes correctly stay out and quinone/sp3-bearing
+       systems are disqualified atom-wise as in pass 1."""
     arom = np.zeros(n, dtype=bool)
     adj = [[w for w, _ in nbrs[v]] for v in range(n)]
-    for ring in _simple_cycles(n, adj):
-        pi = 0
-        ok = True
-        for v in ring:
-            if int(z[v]) not in _AROMATIC_ELEMENTS:
-                ok = False
-                break
-            doubles_in = doubles_out = ar_in = 0
-            for w, o in nbrs[v]:
-                if o == "3":
-                    ok = False
-                    break
-                if o == "2":
-                    if w in ring:
-                        doubles_in += 1
-                    else:
-                        doubles_out += 1
-                elif o == "ar" and w in ring:
-                    ar_in += 1
-            if not ok:
-                break
-            if doubles_in + doubles_out > 1:
-                ok = False  # sp / cumulated double: not aromatic-capable
-                break
-            if doubles_in or ar_in:
-                pi += 1
-            elif doubles_out:
-                pi += 0  # sp2 but contributes no ring electrons (quinone C)
-            elif int(z[v]) in (7, 8, 15, 16, 34):
-                pi += 2  # lone pair (pyrrole N, furan O, thiophene S)
-            else:
-                ok = False  # saturated C/B: breaks conjugation
-                break
-        if ok and pi % 4 == 2:
+    rings = list(_simple_cycles(n, adj))
+    for ring in rings:
+        pi = _ring_pi(ring, z, nbrs)
+        if pi is not None and pi % 4 == 2:
             for v in ring:
+                arom[v] = True
+
+    # ---- fused envelopes (union-find over edge-sharing base cycles) ----
+    parent = list(range(len(rings)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(len(rings)):
+        for k in range(i + 1, len(rings)):
+            if len(rings[i] & rings[k]) >= 2:
+                parent[find(i)] = find(k)
+    systems: dict[int, frozenset] = {}
+    for i, ring in enumerate(rings):
+        r = find(i)
+        systems[r] = systems.get(r, frozenset()) | ring
+    for i, atoms in systems.items():
+        if atoms == rings[i]:
+            continue  # single-ring system: already tested in pass 1
+        pi = _ring_pi(atoms, z, nbrs)
+        if pi is not None and pi % 4 == 2:
+            for v in atoms:
                 arom[v] = True
     return arom
 

@@ -58,59 +58,6 @@ class Divergence:
 
 EXPECTED_DIVERGENCES: list[Divergence] = [
     Divergence(
-        name="azulene-envelope-aromaticity",
-        # Kekule azulene (no aromatic marks): fused 5/7 bicyclic with the
-        # perfect matching a1=a2, a3=a4, a5=b1, b2=b3, b4=b5 (fusion atoms
-        # a1/a5 = atoms 1 and 5, 1-based).  Coordinates are placeholders
-        # (perception is graph-only).
-        mol2="""\
-@<TRIPOS>MOLECULE
-azulene_kekule
-10 11 1
-SMALL
-GASTEIGER
-@<TRIPOS>ATOM
-  1 C1  0.000  0.000  0.000 C.2 1 AZU 0.00
-  2 C2  1.000  0.500  0.000 C.2 1 AZU 0.00
-  3 C3  2.000  0.000  0.000 C.2 1 AZU 0.00
-  4 C4  2.000 -1.000  0.000 C.2 1 AZU 0.00
-  5 C5  1.000 -1.500  0.000 C.2 1 AZU 0.00
-  6 C6  1.000 -2.500  0.000 C.2 1 AZU 0.00
-  7 C7  0.200 -3.300  0.000 C.2 1 AZU 0.00
-  8 C8 -0.800 -3.300  0.000 C.2 1 AZU 0.00
-  9 C9 -1.600 -2.500  0.000 C.2 1 AZU 0.00
- 10 C10 -1.000 -1.000  0.000 C.2 1 AZU 0.00
-@<TRIPOS>BOND
-  1 1 2 2
-  2 2 3 1
-  3 3 4 2
-  4 4 5 1
-  5 5 1 1
-  6 5 6 2
-  7 6 7 1
-  8 7 8 2
-  9 8 9 1
- 10 9 10 2
- 11 10 1 1
-""",
-        atom=2,  # a3: lies only on the 5-ring, which fails per-ring Hueckel
-        feature="aromatic",
-        ours=0.0,
-        openbabel=1.0,
-        confidence="likely",
-        reason=(
-            "Azulene written Kekule: aromaticity here is an ENVELOPE "
-            "property of the fused 10-pi system — each individual ring "
-            "fails 4n+2 (the 5-ring counts 4 with the a5=b1 double "
-            "exocyclic to it), which the per-ring Hueckel perception "
-            "cannot see.  OpenBabel's model considers fused envelopes and "
-            "is expected to mark all 10 carbons aromatic.  (The 7-ring "
-            "happens to count 6 under the chosen matching, so its atoms "
-            "ARE marked by us; atom index 2 isolates the pure-5-ring "
-            "divergence.)"
-        ),
-    ),
-    Divergence(
         name="bare-metal-acceptor",
         mol2="""\
 @<TRIPOS>MOLECULE
@@ -170,6 +117,101 @@ GASTEIGER
 # on every entry (asserted by the tests), so a perception regression reopens
 # them loudly.
 VERIFIED_MATCHES: list[Divergence] = [
+    Divergence(
+        name="pentalene-envelope-not-aromatic",
+        # Kekule pentalene: two fused 5-rings (fusion atoms 4/8, 1-based),
+        # perfect matching 1=2, 3=4, 5=6, 7=8.  The fused envelope counts
+        # 8 pi -> 4n, NOT 4n+2: the envelope pass must not fire (guards the
+        # azulene fix against over-marking antiaromatic fused systems).
+        mol2="""\
+@<TRIPOS>MOLECULE
+pentalene_kekule
+8 9 1
+SMALL
+GASTEIGER
+@<TRIPOS>ATOM
+  1 C1  0.000  0.000  0.000 C.2 1 PEN 0.00
+  2 C2  1.000  0.700  0.000 C.2 1 PEN 0.00
+  3 C3  2.000  0.000  0.000 C.2 1 PEN 0.00
+  4 C4  1.600 -1.000  0.000 C.2 1 PEN 0.00
+  5 C5  2.300 -2.000  0.000 C.2 1 PEN 0.00
+  6 C6  1.600 -3.000  0.000 C.2 1 PEN 0.00
+  7 C7  0.400 -2.700  0.000 C.2 1 PEN 0.00
+  8 C8  0.300 -1.300  0.000 C.2 1 PEN 0.00
+@<TRIPOS>BOND
+  1 1 2 2
+  2 2 3 1
+  3 3 4 2
+  4 4 8 1
+  5 8 1 1
+  6 4 5 1
+  7 5 6 2
+  8 6 7 1
+  9 7 8 2
+""",
+        atom=0,
+        feature="aromatic",
+        ours=0.0,
+        openbabel=0.0,
+        confidence="certain",
+        reason=(
+            "Pentalene (8 pi over the fused envelope, and 4 pi per ring) "
+            "is the canonical 4n antiaromatic bicyclic: neither the "
+            "per-ring pass nor the fused-envelope pass may mark it."
+        ),
+    ),
+    Divergence(
+        name="azulene-envelope-aromaticity",
+        # Kekule azulene (no aromatic marks): fused 5/7 bicyclic with the
+        # perfect matching a1=a2, a3=a4, a5=b1, b2=b3, b4=b5 (fusion atoms
+        # a1/a5 = atoms 1 and 5, 1-based).  Coordinates are placeholders
+        # (perception is graph-only).
+        mol2="""\
+@<TRIPOS>MOLECULE
+azulene_kekule
+10 11 1
+SMALL
+GASTEIGER
+@<TRIPOS>ATOM
+  1 C1  0.000  0.000  0.000 C.2 1 AZU 0.00
+  2 C2  1.000  0.500  0.000 C.2 1 AZU 0.00
+  3 C3  2.000  0.000  0.000 C.2 1 AZU 0.00
+  4 C4  2.000 -1.000  0.000 C.2 1 AZU 0.00
+  5 C5  1.000 -1.500  0.000 C.2 1 AZU 0.00
+  6 C6  1.000 -2.500  0.000 C.2 1 AZU 0.00
+  7 C7  0.200 -3.300  0.000 C.2 1 AZU 0.00
+  8 C8 -0.800 -3.300  0.000 C.2 1 AZU 0.00
+  9 C9 -1.600 -2.500  0.000 C.2 1 AZU 0.00
+ 10 C10 -1.000 -1.000  0.000 C.2 1 AZU 0.00
+@<TRIPOS>BOND
+  1 1 2 2
+  2 2 3 1
+  3 3 4 2
+  4 4 5 1
+  5 5 1 1
+  6 5 6 2
+  7 6 7 1
+  8 7 8 2
+  9 8 9 1
+ 10 9 10 2
+ 11 10 1 1
+""",
+        atom=2,  # a3: lies only on the 5-ring, which fails per-ring Hueckel
+        feature="aromatic",
+        ours=1.0,
+        openbabel=1.0,
+        confidence="likely",
+        reason=(
+            "Azulene written Kekule: aromaticity is an ENVELOPE property "
+            "of the fused 10-pi system — each individual ring fails 4n+2 "
+            "(the 5-ring counts 4 with the a5=b1 double exocyclic to it). "
+            "Round 4's fused-envelope pass (union of edge-sharing base "
+            "cycles, same per-atom pi model) counts 10 pi over the system "
+            "and marks all 10 carbons, matching OpenBabel's fused-system "
+            "model.  Atom index 2 (pure-5-ring) is the one that needed "
+            "the envelope pass."
+        ),
+    ),
     Divergence(
         name="kekule-benzene-aromatic",
         mol2="""\
