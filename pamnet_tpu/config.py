@@ -100,6 +100,21 @@ class PAMNetConfig:
     # bf16 balanced recipe).  Part of the hashable jit key — no trace-time
     # module globals (VERDICT r3 weak #3).
     agg_forward: str | frozenset = frozenset({"t2_ji", "t1_ji", "el_dst"})
+    # Gather-BACKWARD routing: keys whose gather cotangent aggregates via
+    # the blocked prefix scan (ops/ell.py gather_sorted/gather_perm — one
+    # streaming pass over the R real rows, plus an R-row permute gather for
+    # unsorted keys) instead of the ELL table's G*K padded random rows.
+    # Routed keys need their scan aux arrays in the batch ("KEY_off" /
+    # "KEY_perm"+"KEY_poff", built by collate_structures(build_perms=True));
+    # keys missing them keep the scatter-free ELL backward, so any set is
+    # safe for any table layout.  Default = the measured winner (tools/
+    # tpu_ab.py gathbwd, same-process at the QM9 bf16 balanced recipe):
+    # routing all four skew-padded tables (el_dst/el_src ~4.4x padded,
+    # t2_kj/t1_jj ~2.7x) reads 1.026x over the all-ELL backward; the
+    # well-packed global-plex eg tables (~1.2x) stay on ELL.
+    gather_backward: frozenset = frozenset(
+        {"el_dst", "el_src", "t2_kj", "t1_jj"}
+    )
     # Sub-f64 sorted-scan scheme for segment_sum_sorted: "blocked" =
     # block-local prefixes + compensated block prefix (default; fastest on
     # v5e at equal accuracy), "twosum" = global compensated scan (reference
@@ -117,6 +132,9 @@ class PAMNetConfig:
                 raise ValueError(f"invalid agg_forward: {self.agg_forward}")
         else:  # coerce any iterable of keys to a hashable frozenset
             object.__setattr__(self, "agg_forward", frozenset(self.agg_forward))
+        object.__setattr__(
+            self, "gather_backward", frozenset(self.gather_backward)
+        )
         if self.sorted_scan_impl not in ("blocked", "twosum"):
             raise ValueError(f"invalid sorted_scan_impl: {self.sorted_scan_impl}")
 

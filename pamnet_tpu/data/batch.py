@@ -507,6 +507,7 @@ class CollatePlan:
 
 def collate_structures(structs: list[dict], pads: PadSizes | None = None,
                        align: int = 128, build_tables: bool = True,
+                       build_perms: bool = False,
                        plan: "CollatePlan | None" = None,
                        idxs: "list[int] | None" = None) -> GraphBatch:
     """Assemble precomputed per-molecule structures into one padded batch by
@@ -579,7 +580,11 @@ def collate_structures(structs: list[dict], pads: PadSizes | None = None,
 
     # ---- sorted-group offsets (always built; ops/ell.py::segment_sum_sorted
     # turns every forward segment-sum into a prefix-scan) ----
-    from pamnet_tpu.ops.ell import build_ell_table_np, build_offsets_np
+    from pamnet_tpu.ops.ell import (
+        build_ell_table_np,
+        build_offsets_np,
+        build_perm_np,
+    )
 
     def _is_sorted(a, n):
         return n == 0 or bool(np.all(np.diff(a[:n]) >= 0))
@@ -622,6 +627,26 @@ def collate_structures(structs: list[dict], pads: PadSizes | None = None,
             )
             tables[name] = tbl
             tables[name + "_mask"] = tmask
+
+    # ---- gather-backward scan permutations (ops/ell.py::gather_perm) ----
+    # Built on request for the skew-padded gather keys so their backwards
+    # can stream the R real cotangent rows through the blocked scan instead
+    # of reading the ELL table's G*K padded random rows
+    # (PAMNetConfig.gather_backward routes per key; el_dst is group-sorted
+    # already so its existing offsets serve gather_sorted directly).
+    if build_perms:
+        for name, ids, n_valid, groups, rows in (
+            ("el_src", el_src_p, n_el, pads.n, pads.el),
+            ("t2_kj", t2["idx_kj"], n_t2, pads.el, pads.t2),
+            ("t1_jj", t1["idx_jj"], n_t1, pads.el, pads.t1),
+        ):
+            perm, poff = build_perm_np(ids, n_valid, groups, rows)
+            tables[name + "_perm"] = perm
+            tables[name + "_poff"] = poff
+        if "el_dst_off" not in tables:
+            perm, poff = build_perm_np(el_dst_p, n_el, pads.n, pads.el)
+            tables["el_dst_perm"] = perm
+            tables["el_dst_poff"] = poff
 
     basis = {}
     if has_basis:

@@ -86,6 +86,7 @@ class GraphLoader:
         balanced_batches: bool = False,
         align: int = 128,
         build_tables: bool = True,
+        build_perms: bool = True,
         precompute_basis: bool = True,
         num_spherical: int = 7,
         num_radial: int = 6,
@@ -100,6 +101,7 @@ class GraphLoader:
         self.ladder_pads = ladder_pads
         self._align = align
         self.build_tables = build_tables
+        self.build_perms = build_perms
         self._rng = np.random.default_rng(seed)
         if not mols:
             raise ValueError("GraphLoader needs at least one molecule")
@@ -343,12 +345,13 @@ class GraphLoader:
             if plan is not None:
                 yield collate_structures(
                     None, pads, build_tables=self.build_tables,
-                    plan=plan, idxs=idxs,
+                    build_perms=self.build_perms, plan=plan, idxs=idxs,
                 )
             else:
                 yield collate_structures(
                     [self.structs[i] for i in idxs], pads,
                     build_tables=self.build_tables,
+                    build_perms=self.build_perms,
                 )
 
     def prefetch(self, depth: int = 2):

@@ -23,7 +23,13 @@ import jax
 import jax.numpy as jnp
 
 from pamnet_tpu import nn
-from pamnet_tpu.ops.ell import gather_ell, segment_sum_ell, segment_sum_sorted
+from pamnet_tpu.ops.ell import (
+    gather_ell,
+    gather_perm,
+    gather_sorted,
+    segment_sum_ell,
+    segment_sum_sorted,
+)
 from pamnet_tpu.ops.segment import segment_sum
 
 
@@ -102,6 +108,25 @@ def _t(tables, name):
 # table, so any mix is safe for any table layout.
 DEFAULT_AGG_FORWARD: frozenset = frozenset({"t2_ji", "t1_ji", "el_dst"})
 
+# Gather-BACKWARD routing: keys whose gather cotangent aggregates via the
+# blocked prefix scan (gather_sorted / gather_perm in ops/ell.py — one
+# streaming pass over the R real rows, plus one R-row random permute gather
+# for unsorted keys) instead of the ELL table's G*K padded random rows.
+# Routed keys need their scan aux arrays in the batch ("KEY_off" for
+# group-sorted keys; "KEY_perm"+"KEY_poff" otherwise — built by
+# collate_structures(build_perms=True)); keys missing them keep the ELL
+# backward, so any mix is safe for any table layout.  Default = the
+# measured winner (same-process A/B, tools/tpu_ab.py gathbwd, QM9 bf16
+# balanced recipe, 512-step scans): ell 9230.9/9243.4 <-> el-only 9287.3
+# <-> triplets-only 9385.8 <-> all-four 9482.6 mol/s = 1.026x — the
+# skew-padded tables (el_dst N*kl rows ~4.4x the real edge count, el_src,
+# and the ~2.7x triplet tables t2_kj/t1_jj) all pay to route; the
+# well-packed global-plex eg tables (~1.2x, and the forward aggmix A/B
+# showed scan-routing eg loses) stay on the ELL backward.
+DEFAULT_GATHER_BACKWARD: frozenset = frozenset(
+    {"el_dst", "el_src", "t2_kj", "t1_jj"}
+)
+
 
 def _route_sorted(agg_forward, key: str) -> bool:
     if isinstance(agg_forward, str):
@@ -126,16 +151,30 @@ def _agg(values, ids, row_mask, num_groups, tables, key,
     return segment_sum(values * row_mask[:, None], ids, num_groups)
 
 
-def _gath(x, idx, tables, key):
-    """Row gather; scatter-free ELL backward when the table is available."""
-    if tables and key in tables:
-        return gather_ell(x, idx, *_t(tables, key))
+def _gath(x, idx, tables, key, gather_backward=DEFAULT_GATHER_BACKWARD,
+          scan_impl: str = "blocked"):
+    """Row gather with a scatter-free backward: routed keys aggregate their
+    cotangent via the blocked prefix scan (gather_perm/gather_sorted) when
+    the batch carries the aux arrays, everything else via the ELL table;
+    plain gather (XLA scatter backward) when neither is present."""
+    if tables:
+        if key in gather_backward:
+            if key + "_perm" in tables:
+                return gather_perm(
+                    scan_impl, x, idx, tables[key + "_perm"],
+                    tables[key + "_poff"],
+                )
+            if key + "_off" in tables:
+                return gather_sorted(scan_impl, x, idx, tables[key + "_off"])
+        if key in tables:
+            return gather_ell(x, idx, *_t(tables, key))
     return x[idx]
 
 
 def global_mp(p, x, edge_attr, src, dst, e_mask, flow: str, num_nodes: int,
               tables: dict | None = None, lane_pack: bool = False,
-              agg_forward=DEFAULT_AGG_FORWARD, scan_impl: str = "blocked"):
+              agg_forward=DEFAULT_AGG_FORWARD, scan_impl: str = "blocked",
+              gather_backward=DEFAULT_GATHER_BACKWARD):
     """One global-plex layer (reference: global_message_passing.py:33-56).
 
     ``flow`` chooses which endpoint receives messages: ``source_to_target``
@@ -165,8 +204,8 @@ def global_mp(p, x, edge_attr, src, dst, e_mask, flow: str, num_nodes: int,
     b = p["mlp_m"][0]["b"].astype(x.dtype)
     xi_proj = x @ w[:dim]
     xj_proj = x @ w[dim : 2 * dim]
-    x_i = _gath(xi_proj, i_idx, tables, ti)
-    x_j = _gath(xj_proj, j_idx, tables, tj)
+    x_i = _gath(xi_proj, i_idx, tables, ti, gather_backward, scan_impl)
+    x_j = _gath(xj_proj, j_idx, tables, tj, gather_backward, scan_impl)
     from pamnet_tpu.ops import packing
 
     pf = packing.pack_factor(dim) if lane_pack else 1
@@ -199,15 +238,17 @@ def global_mp(p, x, edge_attr, src, dst, e_mask, flow: str, num_nodes: int,
     return x, nn.linear(p["W_out"], out), att
 
 
-def _edge_message(mlp_p, x, rbf, i, j, tables):
+def _edge_message(mlp_p, x, rbf, i, j, tables,
+                  gather_backward=DEFAULT_GATHER_BACKWARD,
+                  scan_impl: str = "blocked"):
     """silu(W @ concat(x_i, x_j, rbf) + b) with the x-projections hoisted to
     node level (project-then-gather; identical math, E->N matmul rows)."""
     dim = x.shape[1]
     w = mlp_p[0]["w"].astype(x.dtype)  # (3*dim, dim)
     b = mlp_p[0]["b"].astype(x.dtype)
     xi, xj = x @ w[:dim], x @ w[dim : 2 * dim]
-    x_i = _gath(xi, i, tables, "el_dst")
-    x_j = _gath(xj, j, tables, "el_src")
+    x_i = _gath(xi, i, tables, "el_dst", gather_backward, scan_impl)
+    x_j = _gath(xj, j, tables, "el_src", gather_backward, scan_impl)
     return nn.silu(x_i + x_j + rbf @ w[2 * dim :] + b)
 
 
@@ -256,6 +297,7 @@ def local_mp(
     tables: dict | None = None,
     agg_forward=DEFAULT_AGG_FORWARD,
     scan_impl: str = "blocked",
+    gather_backward=DEFAULT_GATHER_BACKWARD,
 ):
     """One full local-plex layer with both triplet streams (reference:
     local_message_passing.py:36-66).  ``sbf2``/``sbf1`` arrive already
@@ -268,8 +310,10 @@ def local_mp(
     res_x = x
     x = nn.mlp(p["mlp_x1"], x)
 
-    m_ji = _edge_message(p["mlp_m_ji"], x, rbf, i, j, tables)
-    m_neighbor = _edge_message(p["mlp_m_kj"], x, rbf, i, j, tables) * nn.linear(
+    m_ji = _edge_message(p["mlp_m_ji"], x, rbf, i, j, tables,
+                         gather_backward, scan_impl)
+    m_neighbor = _edge_message(p["mlp_m_kj"], x, rbf, i, j, tables,
+                               gather_backward, scan_impl) * nn.linear(
         p["lin_rbf"], rbf
     )
 
@@ -293,8 +337,10 @@ def local_mp(
     b2 = nn.mlp(p["mlp_sbf"], sbf2) * t2_mask[:, None]
     b1 = nn.mlp(p["mlp_sbf"], sbf1) * t1_mask[:, None]
     if tables:
-        m2 = _gath(m_neighbor, t2_kj, tables, "t2_kj") * b2
-        m1 = _gath(m_neighbor, t1_jj, tables, "t1_jj") * b1
+        m2 = _gath(m_neighbor, t2_kj, tables, "t2_kj", gather_backward,
+                   scan_impl) * b2
+        m1 = _gath(m_neighbor, t1_jj, tables, "t1_jj", gather_backward,
+                   scan_impl) * b1
         m_other = _agg(
             m2, t2_ji, t2_mask, num_edges, tables, "t2_ji", agg_forward,
             scan_impl,
@@ -339,6 +385,7 @@ def local_mp_s(
     p, x, rbf, sbf, t1_jj, t1_ji, t1_mask, el_src, el_dst, el_mask,
     num_nodes: int, tables: dict | None = None,
     agg_forward=DEFAULT_AGG_FORWARD, scan_impl: str = "blocked",
+    gather_backward=DEFAULT_GATHER_BACKWARD,
 ):
     """Efficient one-hop-only local layer (reference:
     local_message_passing.py:96-123, used by PAMNet_s)."""
@@ -348,15 +395,18 @@ def local_mp_s(
     res_x = x
     x = nn.mlp(p["mlp_x1"], x)
 
-    m_ji = _edge_message(p["mlp_m_ji"], x, rbf, i, j, tables)
-    m_neighbor = _edge_message(p["mlp_m_jj"], x, rbf, i, j, tables) * nn.linear(
+    m_ji = _edge_message(p["mlp_m_ji"], x, rbf, i, j, tables,
+                         gather_backward, scan_impl)
+    m_neighbor = _edge_message(p["mlp_m_jj"], x, rbf, i, j, tables,
+                               gather_backward, scan_impl) * nn.linear(
         p["lin_rbf"], rbf
     )
     if isinstance(sbf, FoldedSBF):
         m1 = _fused_sbf_gather(p, m_neighbor, sbf, t1_jj, t1_mask)
     else:
         b1 = nn.mlp(p["mlp_sbf"], sbf) * t1_mask[:, None]
-        m1 = _gath(m_neighbor, t1_jj, tables, "t1_jj") * b1
+        m1 = _gath(m_neighbor, t1_jj, tables, "t1_jj", gather_backward,
+                   scan_impl) * b1
     m = m_ji + _agg(m1, t1_ji, t1_mask, num_edges, tables, "t1_ji",
                     agg_forward, scan_impl)
     return _local_tail(p, x, res_x, m, rbf, i, el_mask, num_nodes, tables,

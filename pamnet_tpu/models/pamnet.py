@@ -286,6 +286,7 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
                 gp, x, edge_attr_rbf_g, g.eg_src, g.eg_dst, eg_mask, cfg.flow,
                 num_nodes, tables=tables, lane_pack=cfg.lane_pack,
                 agg_forward=cfg.agg_forward, scan_impl=cfg.sorted_scan_impl,
+                gather_backward=cfg.gather_backward,
             )
             if use_two_hop:
                 x, out_l, att_l = L.local_mp(
@@ -294,6 +295,7 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
                     g.el_src, g.el_dst, el_mask, num_nodes,
                     use_pallas=cfg.use_pallas_triplet, tables=tables,
                     agg_forward=cfg.agg_forward, scan_impl=cfg.sorted_scan_impl,
+                    gather_backward=cfg.gather_backward,
                 )
             else:
                 x, out_l, att_l = L.local_mp_s(
@@ -301,6 +303,7 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
                     g.t1_jj, g.t1_ji, t1_mask,
                     g.el_src, g.el_dst, el_mask, num_nodes, tables=tables,
                     agg_forward=cfg.agg_forward, scan_impl=cfg.sorted_scan_impl,
+                    gather_backward=cfg.gather_backward,
                 )
             return x, (out_g[..., 0], att_g[..., 0], out_l[..., 0], att_l[..., 0])
 
@@ -320,6 +323,7 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
             x, edge_attr_rbf_g, g.eg_src, g.eg_dst, eg_mask, cfg.flow, num_nodes,
             tables=tables, lane_pack=cfg.lane_pack,
             agg_forward=cfg.agg_forward, scan_impl=cfg.sorted_scan_impl,
+            gather_backward=cfg.gather_backward,
         )
         outs_g.append(out_g)
         atts_g.append(att_g)
@@ -334,6 +338,7 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
                 use_pallas=cfg.use_pallas_triplet,
                 tables=tables,
                 agg_forward=cfg.agg_forward, scan_impl=cfg.sorted_scan_impl,
+                gather_backward=cfg.gather_backward,
             )
         else:
             x, out_l, att_l = L.local_mp_s(
@@ -343,6 +348,7 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
                 g.el_src, g.el_dst, el_mask, num_nodes,
                 tables=tables,
                 agg_forward=cfg.agg_forward, scan_impl=cfg.sorted_scan_impl,
+                gather_backward=cfg.gather_backward,
             )
         outs_l.append(out_l)
         atts_l.append(att_l)

@@ -78,6 +78,53 @@ def _gather_bwd(res, g):
 gather_ell.defvjp(_gather_fwd, _gather_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def gather_sorted(impl, x, idx, offsets):
+    """Row gather ``x[idx]`` for an ``idx`` that is group-sorted (rows stored
+    in nondecreasing idx order, padding at the tail): the backward aggregates
+    the cotangent with the blocked/compensated prefix scan over ``offsets``
+    (one streaming pass over the real rows) instead of reading the G*K
+    padded random rows of an ELL table.  Pays off when the key's ELL table
+    carries mean-vs-max padding skew (the el_dst node table reads N*kl rows
+    ~4.4x the real edge count at the QM9 recipe)."""
+    return x[idx]
+
+
+def _gather_sorted_fwd(impl, x, idx, offsets):
+    return x[idx], offsets
+
+
+def _gather_sorted_bwd(impl, offsets, g):
+    return _scan_group_sums(impl, g, offsets), None, None
+
+
+gather_sorted.defvjp(_gather_sorted_fwd, _gather_sorted_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def gather_perm(impl, x, idx, perm, offsets):
+    """Row gather ``x[idx]`` for an arbitrary ``idx``: the backward permutes
+    the cotangent into idx-sorted order (``perm`` = host-built stable sort of
+    the valid rows, padding rows parked past ``offsets[-1]``) and runs the
+    prefix-scan aggregation of :func:`gather_sorted`.  Reads R random rows
+    plus one streaming pass instead of the ELL table's G*K random rows —
+    the win for the triplet keys whose tables pad El*K ~2.7x the real
+    triplet count (DEVNOTES round-3 exact-widths note)."""
+    return x[idx]
+
+
+def _gather_perm_fwd(impl, x, idx, perm, offsets):
+    return x[idx], (perm, offsets)
+
+
+def _gather_perm_bwd(impl, res, g):
+    perm, offsets = res
+    return _scan_group_sums(impl, g[perm], offsets), None, None, None
+
+
+gather_perm.defvjp(_gather_perm_fwd, _gather_perm_bwd)
+
+
 def _compensated_cumsum(v):
     """f32 prefix sums with a TwoSum compensation stream: returns ``(s, e)``,
     each (R+1, D) with a leading zero row, such that ``s + e`` equals the
@@ -131,8 +178,10 @@ def _blocked_group_sums(v, offsets):
     return hi + lo
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _segment_sum_sorted(impl, values, seg_ids, row_mask, offsets):
+def _scan_group_sums(impl, values, offsets):
+    """Group sums of rows pre-sorted by group via prefix scans; rows beyond
+    ``offsets[-1]`` are never sliced into any group.  f64 keeps a plain
+    cumsum; sub-f64 runs the compensated scheme selected by ``impl``."""
     if jnp.dtype(values.dtype).itemsize >= 8:
         s = jnp.cumsum(values, axis=0)
         s = jnp.concatenate([jnp.zeros_like(s[:1]), s], axis=0)
@@ -144,6 +193,11 @@ def _segment_sum_sorted(impl, values, seg_ids, row_mask, offsets):
     s, e = _compensated_cumsum(v)
     out = (s[offsets[1:]] - s[offsets[:-1]]) + (e[offsets[1:]] - e[offsets[:-1]])
     return out.astype(values.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _segment_sum_sorted(impl, values, seg_ids, row_mask, offsets):
+    return _scan_group_sums(impl, values, offsets)
 
 
 def _sorted_fwd(impl, values, seg_ids, row_mask, offsets):
@@ -208,6 +262,28 @@ def build_offsets_np(ids, num_valid: int, num_groups: int):
     if num_valid and np.any(np.diff(ids) < 0):
         raise ValueError("rows are not sorted by group id")
     return np.searchsorted(ids, np.arange(num_groups + 1)).astype(np.int32)
+
+
+def build_perm_np(ids, num_valid: int, num_groups: int, total_rows: int):
+    """Host-side permutation + offsets for :func:`gather_perm`'s backward.
+
+    Returns ``(perm (total_rows,) int32, offsets (num_groups+1,) int32)``:
+    ``perm`` stable-sorts the first ``num_valid`` rows by their ``ids`` value
+    and parks the padding rows past the end; ``offsets`` marks each group's
+    [start, end) within the permuted order (``offsets[-1] == num_valid``, so
+    the scan never slices a padding row into a group)."""
+    import numpy as np
+
+    idv = np.asarray(ids[:num_valid], dtype=np.int64)
+    if num_valid and (idv.min() < 0 or idv.max() >= num_groups):
+        raise ValueError("group id out of range")
+    order = np.argsort(idv, kind="stable").astype(np.int32)
+    counts = np.bincount(idv, minlength=num_groups)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    perm = np.concatenate(
+        [order, np.arange(num_valid, total_rows, dtype=np.int32)]
+    )
+    return perm, offsets
 
 
 def build_ell_table_np(ids, num_valid: int, num_groups: int, k: int):

@@ -91,6 +91,60 @@ def test_segment_sum_sorted_matches(rng):
     np.testing.assert_allclose(g_a, g_b, rtol=1e-3, atol=1e-4)
 
 
+def test_gather_sorted_and_perm_backward(rng):
+    """gather_sorted / gather_perm forward == plain gather; their scan
+    backwards must match the plain-gather (scatter) gradient, including a
+    nonzero cotangent on padded rows (the perm parks those past
+    offsets[-1], so they never enter a group)."""
+    from pamnet_tpu.ops.ell import (
+        build_offsets_np,
+        build_perm_np,
+        gather_perm,
+        gather_sorted,
+    )
+
+    g_src, r, n_valid, d = 32, 200, 150, 8
+    x = jnp.asarray(rng.standard_normal((g_src, d)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((r, d)).astype(np.float32))
+    row_mask = np.zeros(r, np.float32)
+    row_mask[:n_valid] = 1.0
+
+    # Group-sorted idx (the el_dst case).
+    ids = np.sort(rng.integers(0, g_src, r)).astype(np.int32)
+    ids[n_valid:] = 0
+    offsets = jnp.asarray(build_offsets_np(ids, n_valid, g_src))
+    got = np.asarray(gather_sorted("blocked", x, jnp.asarray(ids), offsets))
+    np.testing.assert_array_equal(got, np.asarray(x)[ids])
+    for impl in ("blocked", "twosum"):
+        g_a = np.asarray(jax.grad(lambda x_: (
+            gather_sorted(impl, x_, jnp.asarray(ids), offsets)
+            * row_mask[:, None] * w).sum())(x))
+        g_b = np.asarray(jax.grad(lambda x_: (
+            x_[ids] * row_mask[:, None] * w).sum())(x))
+        np.testing.assert_allclose(g_a, g_b, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"sorted/{impl}")
+
+    # Arbitrary idx + host permutation (the t2_kj/t1_jj/el_src case).
+    ids2 = rng.integers(0, g_src, r).astype(np.int32)
+    ids2[n_valid:] = 0
+    perm, poff = build_perm_np(ids2, n_valid, g_src, r)
+    assert sorted(perm.tolist()) == list(range(r))  # valid permutation
+    assert poff[-1] == n_valid
+    got = np.asarray(
+        gather_perm("blocked", x, jnp.asarray(ids2), jnp.asarray(perm),
+                    jnp.asarray(poff))
+    )
+    np.testing.assert_array_equal(got, np.asarray(x)[ids2])
+    # Padded rows get an UNMASKED cotangent here on purpose: the perm/offsets
+    # must exclude them without any mask multiply.
+    g_a = np.asarray(jax.grad(lambda x_: (
+        gather_perm("blocked", x_, jnp.asarray(ids2), jnp.asarray(perm),
+                    jnp.asarray(poff)) * w).sum())(x))
+    g_b = np.asarray(jax.grad(lambda x_: (
+        x_[ids2] * row_mask[:, None] * w).sum())(x))
+    np.testing.assert_allclose(g_a, g_b, rtol=1e-4, atol=1e-5)
+
+
 def test_segment_sum_sorted_keeps_f64_accumulation(rng):
     """Under jax x64 an f64 stream must accumulate in f64, not be silently
     downcast to the f32 scan used for low-precision inputs (ADVICE r2): the

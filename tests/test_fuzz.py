@@ -157,6 +157,44 @@ def test_fuzz_routing_matrix(rng):
     np.testing.assert_allclose(bf16, ref, rtol=5e-2, atol=5e-2,
                                err_msg="bf16_offsets")
 
+    # Gather-BACKWARD routing (PAMNetConfig.gather_backward): cotangents of
+    # routed gathers aggregate via the blocked scan (gather_sorted/
+    # gather_perm over host-built permutations) instead of the ELL table —
+    # the GRADIENT trees must match the plain-scatter reference either way.
+    gb_perms = jax.tree.map(jnp.asarray, collate_structures(
+        structs, build_tables=True, build_perms=True))
+    for key in ("el_src_perm", "el_src_poff", "t2_kj_perm", "t1_jj_perm"):
+        assert key in gb_perms.tables, key
+
+    def grads(gb, c):
+        def loss(p):
+            return jnp.sum(jnp.abs(apply_pamnet(p, gb, c)) * gb.graph_mask)
+        return jax.grad(loss)(params)
+
+    # The shipped default routes the four skew-padded gather keys.
+    routed = frozenset({"el_dst", "el_src", "t2_kj", "t1_jj"})
+    assert cfg.gather_backward == layers.DEFAULT_GATHER_BACKWARD == routed
+
+    g_ref = grads(gb_plain, dataclasses.replace(cfg, fold_sbf=False))
+    for name, gb, c in (
+        ("ell_backward", gb_perms, dataclasses.replace(
+            cfg, fold_sbf=False, gather_backward=frozenset())),
+        ("scan_backward", gb_perms, dataclasses.replace(
+            cfg, fold_sbf=False, gather_backward=routed)),
+        ("scan_backward_no_perms", gb_tables, dataclasses.replace(
+            cfg, fold_sbf=False, gather_backward=routed)),  # falls back
+    ):
+        g_got = grads(gb, c)
+        for (path, want), got in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree.leaves(g_got),
+            strict=True,
+        ):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-5,
+                err_msg=f"{name}: {jax.tree_util.keystr(path)}",
+            )
+
 
 def test_fuzz_gradients_finite(rng):
     params = init_pamnet(jax.random.PRNGKey(3), CFG)

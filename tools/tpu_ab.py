@@ -28,6 +28,9 @@ Experiments (select with argv[1:], default: dtype):
           sorted scan, with ELL gather backwards kept in both variants.
   aggmix  like aggfwd but at the shipped balanced-pads config, adding the
           per-key mix (triplet reductions sorted, global tables ELL).
+  gathbwd gather-BACKWARD routing per key: ELL-table cotangent aggregation
+          (G*K padded random rows) vs the blocked scan over the real rows
+          (gather_sorted/gather_perm; PAMNetConfig.gather_backward).
   evalpads stacked eval with plan-pinned vs LPT-balanced eval composition
           (order-free, so balancing eval is exactly metric-preserving).
 
@@ -670,6 +673,51 @@ def exp_aggmix():
           f"sorted_vs_ell={c/base:.3f}x")
 
 
+def exp_gathbwd():
+    """Gather-BACKWARD routing at the shipped bench config (balanced pads,
+    bf16, default agg_forward mix): cotangent aggregation via the ELL table
+    (G*K padded random rows) vs the blocked prefix scan over the R real rows
+    (gather_sorted for the group-sorted el_dst key, gather_perm + host
+    permutation for el_src/t2_kj/t1_jj).  The roofline attribution
+    (tools/roofline.py) puts ELL gather backwards as the largest analytic
+    stream, and the el_dst/el_src node tables pad ~4.4x / the triplet tables
+    ~2.7x over the real row counts — this measures whether streaming the
+    real rows beats gathering the padded ones."""
+    cfg = PAMNetConfig(dataset="QM9", dim=128, n_layer=6, cutoff_l=5.0,
+                       cutoff_g=5.0, compute_dtype="bfloat16")
+    bs = 32
+    mols = synthetic_qm9_dataset(16 * bs, seed=480)
+    loader = GraphLoader(mols, "qm9", cfg.cutoff_l, cfg.cutoff_g,
+                         batch_size=bs, shuffle=False, drop_last=True,
+                         balanced_batches=True, build_perms=True)
+    print(f"pads: {loader.pads}", file=sys.stderr)
+    batches = _stage(loader)
+    tiled, n_steps = _tile(batches, 512)
+    params = init_pamnet(jax.random.PRNGKey(480), cfg)
+    optimizer = make_optimizer(warmup_exponential(1e-4, steps_per_epoch=64),
+                               clip_norm=1000.0)
+    state = init_train_state(params, optimizer, use_ema=True)
+
+    def v(keys):
+        return dataclasses.replace(cfg, gather_backward=keys)
+
+    a = _run_scan("gathbwd", "ell", v(frozenset()), state, tiled, n_steps, bs)
+    b = _run_scan("gathbwd", "el", v(frozenset({"el_dst", "el_src"})),
+                  state, tiled, n_steps, bs)
+    c = _run_scan("gathbwd", "triplets", v(frozenset({"t2_kj", "t1_jj"})),
+                  state, tiled, n_steps, bs)
+    d = _run_scan(
+        "gathbwd", "all",
+        v(frozenset({"el_dst", "el_src", "t2_kj", "t1_jj"})),
+        state, tiled, n_steps, bs,
+    )
+    a2 = _run_scan("gathbwd", "ell_again", v(frozenset()), state, tiled,
+                   n_steps, bs)
+    base = max(a, a2)
+    print(f"AB gathbwd el_vs_ell={b/base:.3f}x triplets_vs_ell={c/base:.3f}x "
+          f"all_vs_ell={d/base:.3f}x")
+
+
 def exp_evalpads():
     """Stacked one-dispatch evaluation (train/loop.py StackedEval) with the
     eval loaders' current plan-pinned pads vs LPT-balanced composition.
@@ -766,7 +814,8 @@ def main():
          "variant": exp_variant, "batch": exp_batch,
          "devgraph": exp_devgraph, "scan": exp_scan,
          "scanimpl": exp_scanimpl, "aggfwd": exp_aggfwd,
-         "aggmix": exp_aggmix, "evalpads": exp_evalpads,
+         "aggmix": exp_aggmix, "gathbwd": exp_gathbwd,
+         "evalpads": exp_evalpads,
          "planpads": exp_planpads}[w]()
 
 
