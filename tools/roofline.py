@@ -110,21 +110,30 @@ def main():
 
     # ---- analytic dominant-stream table (per step, padded shapes) ----
     # Random row gathers move one padded lane row (128 lanes) per row read;
-    # at d=128 that is d*itemsize bytes/row.  ELL reduce reads G*K rows per
-    # reduction; gather backwards likewise.  These are the streams the
-    # round-2/3 traces attributed the step to — recomputed here from pads.
+    # at d=128 that is d*itemsize bytes/row.  Scans stream their rows
+    # (~3 passes: cumsum read+write + sliced output).  Row READS only —
+    # output writes are mostly fused.  Mirrors the SHIPPED routing
+    # defaults (models/layers.py): forward agg mix = t2_ji/t1_ji/el_dst
+    # scan + eg_dst ELL K-sum; gather backwards = scan routing for
+    # el_dst/el_src/t2_kj/t1_jj (el_src and the triplet keys pay one extra
+    # R-row random permute gather), ELL for the eg keys.
     item = 2 if dtype == "bfloat16" else 4
     row = dim * item
+    SCAN = 3
     streams = {
-        # forward + backward gathers of node projections onto edges (x_i/x_j
-        # for global plex + 2 local-edge messages), each E rows fwd + ELL
-        # G*K rows bwd, twice (two projections) per stream:
-        "edge_gathers_fwd": 2 * (2 * pads.eg + 4 * pads.el) * row,
-        "edge_gathers_bwd_ell": 2 * (2 * pads.n * pads.kg_dst
-                                     + 4 * pads.n * pads.kl_dst) * row,
+        # global plex: x_i/x_j node-projection gathers + their ELL backwards
+        "eg_gathers_fwd": 2 * pads.eg * row,
+        "eg_gathers_bwd_ell": pads.n * (pads.kg_dst + pads.kg_src) * row,
+        # local plex: x_i/x_j gathers for BOTH edge messages + scan backwards
+        "el_gathers_fwd": 4 * pads.el * row,
+        "el_gathers_bwd_scan": (2 * SCAN + 2 * (1 + SCAN)) * pads.el * row,
+        # triplet m_neighbor gathers + their perm-scan backwards
         "triplet_gathers_fwd": (pads.t2 + pads.t1) * row,
-        "triplet_agg_ell": (pads.el * (getattr(pads, "k2_ji", 0) or 0)
-                            + pads.el * (getattr(pads, "k1_ji", 0) or 0)) * row,
+        "triplet_gathers_bwd_scan": (1 + SCAN) * (pads.t2 + pads.t1) * row,
+        # forward segment sums (mix) + their g[seg_ids] backward gathers
+        "agg_fwd_scan": SCAN * (pads.t2 + pads.t1 + pads.el) * row,
+        "agg_fwd_eg_ell": pads.n * pads.kg_dst * row,
+        "agg_bwd_gathers": (pads.t2 + pads.t1 + pads.el + pads.eg) * row,
     }
     streams = {k: v * n_layer for k, v in streams.items()}
 
