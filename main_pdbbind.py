@@ -137,9 +137,11 @@ def main():
     # global reductions), so eval splits always use LPT-balanced packing —
     # metric-identical, tighter pads (tools/tpu_ab.py evalpads).
     val_loader = GraphLoader(val_mols, batch_size=args.batch_size,
-                             balanced_batches=True, **common)
+                             balanced_batches=True, build_perms=False,
+                             **common)
     test_loader = GraphLoader(core, batch_size=args.batch_size,
-                              balanced_batches=True, **common)
+                              balanced_batches=True, build_perms=False,
+                              **common)
 
     params = init_pamnet(jax.random.PRNGKey(args.seed), cfg)
     print("Number of model parameters:", count_parameters(params))

@@ -214,7 +214,8 @@ def main():
     t_load = time.time()
     train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
                                shuffle=True, seed=args.seed, drop_last=True,
-                               balanced_batches=args.balanced_batches, **common)
+                               balanced_batches=args.balanced_batches,
+                               build_perms=True, **common)
     # Eval composition is free — labels ride inside the batches and the
     # metric is a global mean over molecules — so the eval splits ALWAYS use
     # LPT-balanced packing with their own exact pads (each split compiles
@@ -222,9 +223,11 @@ def main():
     # (and far more over the worst-case bucket) with bit-identical MAE, plus
     # ~10% less staged bytes (tools/tpu_ab.py evalpads, DEVNOTES round-3).
     val_loader = GraphLoader(val_mols, batch_size=args.batch_size,
-                             balanced_batches=True, **common)
+                             balanced_batches=True, build_perms=False,
+                             **common)
     test_loader = GraphLoader(test_mols, batch_size=args.batch_size,
-                              balanced_batches=True, **common)
+                              balanced_batches=True, build_perms=False,
+                              **common)
     print(f"Data loaded! train={len(train_mols)} val={len(val_mols)} "
           f"test={len(test_mols)} pads={train_loader.pads} "
           f"({time.time() - t_load:.1f}s structure build)")

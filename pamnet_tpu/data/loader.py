@@ -86,7 +86,7 @@ class GraphLoader:
         balanced_batches: bool = False,
         align: int = 128,
         build_tables: bool = True,
-        build_perms: bool = True,
+        build_perms: bool | None = None,
         precompute_basis: bool = True,
         num_spherical: int = 7,
         num_radial: int = 6,
@@ -101,7 +101,13 @@ class GraphLoader:
         self.ladder_pads = ladder_pads
         self._align = align
         self.build_tables = build_tables
-        self.build_perms = build_perms
+        # Gather-backward scan-routing aux arrays (collate build_perms):
+        # only training steps differentiate through gathers, so default to
+        # following build_tables (training loaders build both; inference/
+        # eval loaders build neither).  --no_ell_tables TRAINING loaders
+        # pass True explicitly: perms are tiny next to ELL tables and keep
+        # the routed backwards scatter-free there.
+        self.build_perms = build_tables if build_perms is None else build_perms
         self._rng = np.random.default_rng(seed)
         if not mols:
             raise ValueError("GraphLoader needs at least one molecule")

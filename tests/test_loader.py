@@ -267,3 +267,21 @@ def test_plan_drop_last_smaller_than_batch(rng):
         assert len(ld) == 0
         assert ld.batches() == []
         assert list(ld) == []
+
+
+def test_build_perms_follows_build_tables(rng):
+    """Gather-backward perm/offset aux arrays: training loaders
+    (build_tables=True) build them by default, inference/eval loaders
+    (build_tables=False) skip them (no backward to route), and the
+    --no_ell_tables training case opts in explicitly with build_perms=True
+    (tiny next to ELL tables; keeps the routed backwards scatter-free)."""
+    mols = _mols(rng, 6)
+    perm_keys = {"el_src_perm", "el_src_poff", "t2_kj_perm", "t2_kj_poff",
+                 "t1_jj_perm", "t1_jj_poff"}
+    for bt, bp, expect in ((True, None, True), (False, None, False),
+                           (False, True, True), (True, False, False)):
+        ld = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=3, align=8,
+                         build_tables=bt, build_perms=bp)
+        gb = next(iter(ld))
+        got = perm_keys & set(gb.tables)
+        assert (got == perm_keys) == expect and (got or not expect), (bt, bp)
