@@ -144,8 +144,11 @@ def bench_epoch():
                                cfg.cutoff_g, batch_size=batch_size,
                                shuffle=True, seed=480, drop_last=True,
                                balanced_batches=True)
+    # Mirrors the drivers: eval loaders skip the gather-backward aux arrays
+    # (no backward to route).
     val_loader = GraphLoader(mols[n_train:], "qm9", cfg.cutoff_l, cfg.cutoff_g,
-                             batch_size=batch_size, balanced_batches=True)
+                             batch_size=batch_size, balanced_batches=True,
+                             build_perms=False)
     print(f"epoch-wall: structure build {time.time()-t0:.1f}s "
           f"(train={n_train} val={n_val})", file=sys.stderr)
 

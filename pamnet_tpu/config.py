@@ -132,6 +132,12 @@ class PAMNetConfig:
                 raise ValueError(f"invalid agg_forward: {self.agg_forward}")
         else:  # coerce any iterable of keys to a hashable frozenset
             object.__setattr__(self, "agg_forward", frozenset(self.agg_forward))
+        if isinstance(self.gather_backward, str):
+            # frozenset("el_dst") would silently split into characters.
+            raise ValueError(
+                "gather_backward takes a set of key names, not a string: "
+                f"{self.gather_backward!r}"
+            )
         object.__setattr__(
             self, "gather_backward", frozenset(self.gather_backward)
         )

@@ -246,46 +246,74 @@ def _huckel_aromatic(n: int, z, nbrs) -> np.ndarray:
     Two passes of the same 4n+2 test (:func:`_ring_pi`):
 
     1. every simple 3-7 cycle on its own (benzene, pyridine, thiophene...);
-    2. fused-ring ENVELOPES — base cycles sharing >= 2 atoms (an edge, for
-       simple cycles) union into systems, and a system whose combined atom
-       set passes 4n+2 marks all members.  This is what makes azulene
-       aromatic (each of the 5/7 rings fails alone; the fused 10-atom
-       system counts 10 pi), while pentalene (8 pi) and biphenylene
-       (12 pi) envelopes correctly stay out and quinone/sp3-bearing
-       systems are disqualified atom-wise as in pass 1."""
+    2. fused-ring ENVELOPES — CAPABLE base cycles (every member passes the
+       per-atom checks) sharing >= 2 atoms (an edge, for simple cycles)
+       union into systems, and a system whose combined atom set passes
+       4n+2 marks all members.  This is what makes azulene aromatic (each
+       of the 5/7 rings fails alone; the fused 10-atom system counts
+       10 pi), while pentalene (8 pi) and biphenylene (12 pi) envelopes
+       correctly stay out.  Disqualified rings (sp3/metal/cumulated
+       members) are excluded from the union rather than killing it, so a
+       saturated ring fused onto azulene leaves the 10-pi system intact.
+       NOT modeled: sub-envelopes of a failing maximal union (a capable
+       4n ring fused onto azulene drags the union to 4n and the 10-pi
+       azulene subsystem is never retested) — registered divergence
+       (featurizer_divergences.py: azulene-plus-4n-ring)."""
     arom = np.zeros(n, dtype=bool)
     adj = [[w for w, _ in nbrs[v]] for v in range(n)]
-    rings = list(_simple_cycles(n, adj))
-    for ring in rings:
+    capable: list[frozenset] = []
+    for ring in _simple_cycles(n, adj):
         pi = _ring_pi(ring, z, nbrs)
-        if pi is not None and pi % 4 == 2:
+        if pi is None:
+            continue
+        capable.append(ring)
+        if pi % 4 == 2:
             for v in ring:
                 arom[v] = True
 
-    # ---- fused envelopes (union-find over edge-sharing base cycles) ----
-    parent = list(range(len(rings)))
+    # ---- fused envelopes (union-find over edge-sharing CAPABLE cycles) ----
+    # Only rings whose every member is aromatic-capable join a system: a
+    # disqualified ring (sp3/metal/cumulated member) must not kill the
+    # envelope of its capable neighbors — a saturated cyclopentane fused
+    # onto azulene leaves azulene's 10-pi system intact (registry fixture).
+    # A union of capable rings can itself never return None from _ring_pi
+    # (each atom keeps >= the in-ring doubles/ar that qualified it), so the
+    # envelope test below is a pure 4n+2 parity check.  Guard: pathological
+    # inputs that hit the _simple_cycles density cap skip the envelope pass
+    # (per-ring marks stand; real molecules have tens of rings).
+    if 2 <= len(capable) <= 2000:
+        parent = list(range(len(capable)))
 
-    def find(i):
-        while parent[i] != i:
-            parent[i] = parent[parent[i]]
-            i = parent[i]
-        return i
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
 
-    for i in range(len(rings)):
-        for k in range(i + 1, len(rings)):
-            if len(rings[i] & rings[k]) >= 2:
-                parent[find(i)] = find(k)
-    systems: dict[int, frozenset] = {}
-    for i, ring in enumerate(rings):
-        r = find(i)
-        systems[r] = systems.get(r, frozenset()) | ring
-    for i, atoms in systems.items():
-        if atoms == rings[i]:
-            continue  # single-ring system: already tested in pass 1
-        pi = _ring_pi(atoms, z, nbrs)
-        if pi is not None and pi % 4 == 2:
-            for v in atoms:
-                arom[v] = True
+        by_atom: dict[int, list[int]] = {}
+        for i, ring in enumerate(capable):
+            for v in ring:
+                by_atom.setdefault(v, []).append(i)
+        for i, ring in enumerate(capable):
+            shared: dict[int, int] = {}
+            for v in ring:
+                for k in by_atom[v]:
+                    if k > i:
+                        shared[k] = shared.get(k, 0) + 1
+            for k, cnt in shared.items():
+                if cnt >= 2:  # >= 2 shared atoms = a shared edge for cycles
+                    parent[find(i)] = find(k)
+        systems: dict[int, frozenset] = {}
+        for i, ring in enumerate(capable):
+            r = find(i)
+            systems[r] = systems.get(r, frozenset()) | ring
+        for i, atoms in systems.items():
+            if atoms == capable[i]:
+                continue  # single-ring system: already tested in pass 1
+            pi = _ring_pi(atoms, z, nbrs)
+            if pi is not None and pi % 4 == 2:
+                for v in atoms:
+                    arom[v] = True
     return arom
 
 

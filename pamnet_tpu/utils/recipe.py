@@ -26,7 +26,7 @@ def qm9_bench_dtype() -> str:
     return os.environ.get("PAMNET_BENCH_DTYPE", "bfloat16")
 
 
-def qm9_bench_config(batch_size: int | None = None, dim: int | None = None,
+def qm9_bench_config(dim: int | None = None,
                      n_layer: int | None = None, variant: str = "full",
                      compute_dtype: str | None = None) -> PAMNetConfig:
     """The benchmark PAMNetConfig (cutoffs 5.0/5.0, reference main_qm9.py

@@ -115,10 +115,13 @@ def test_gather_sorted_and_perm_backward(rng):
     offsets = jnp.asarray(build_offsets_np(ids, n_valid, g_src))
     got = np.asarray(gather_sorted("blocked", x, jnp.asarray(ids), offsets))
     np.testing.assert_array_equal(got, np.asarray(x)[ids])
+    # Padded rows get an UNMASKED cotangent on purpose (no row_mask in the
+    # gather_sorted closure): offsets[-1] == n_valid must exclude them from
+    # every group without any mask multiply.
     for impl in ("blocked", "twosum"):
         g_a = np.asarray(jax.grad(lambda x_: (
-            gather_sorted(impl, x_, jnp.asarray(ids), offsets)
-            * row_mask[:, None] * w).sum())(x))
+            gather_sorted(impl, x_, jnp.asarray(ids), offsets) * w
+        ).sum())(x))
         g_b = np.asarray(jax.grad(lambda x_: (
             x_[ids] * row_mask[:, None] * w).sum())(x))
         np.testing.assert_allclose(g_a, g_b, rtol=1e-4, atol=1e-5,

@@ -43,11 +43,13 @@ def main():
                 if plan is not None:
                     collate_structures(None, loader.pads,
                                        build_tables=loader.build_tables,
+                                       build_perms=loader.build_perms,
                                        plan=plan, idxs=idxs)
                 else:
                     collate_structures(
                         [loader.structs[i] for i in idxs], loader.pads,
                         build_tables=loader.build_tables,
+                        build_perms=loader.build_perms,
                     )
             best = min(best, (time.time() - t0) / len(idx_batches))
         print(f"{tag}: {best*1e3:.3f} ms/batch (batch={bs})")
