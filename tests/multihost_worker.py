@@ -65,3 +65,27 @@ for _ in range(2):
     local_loss = multihost_utils.global_array_to_host_local_array(loss, mesh, P())
     losses.append(float(np.asarray(local_loss)))
 print(f"LOSSES {pid} {losses[0]:.8f} {losses[1]:.8f}", flush=True)
+
+# Cross-shard rotation across the process boundary: the --shard_rotate
+# collective (train/loop.py DeviceDataTrainer._rotate) is a jitted
+# jnp.roll with pinned out_shardings over the dp mesh — here rolled by one
+# process's worth of rows, so every microbatch this process now holds
+# CAME FROM the other process over gloo.  Verify content exactly against
+# the host-side expectation.
+from jax.sharding import NamedSharding  # noqa: E402
+
+shard = NamedSharding(mesh, P("dp"))
+roll = jax.jit(
+    lambda t: jax.tree.map(lambda x: jnp.roll(x, ndev, axis=0), t),
+    out_shardings=shard,
+)
+rolled_local = multihost_utils.global_array_to_host_local_array(
+    roll(global_batch), mesh, P("dp")
+)
+expected_src = [(pid * ndev + k - ndev) % total for k in range(ndev)]
+for k, src in enumerate(expected_src):
+    got = jax.tree.map(lambda x: np.asarray(x[k]), rolled_local)
+    want = batches[src]
+    for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want), strict=True):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+print(f"ROTATE {pid} OK", flush=True)

@@ -104,6 +104,9 @@ def test_two_process_two_device_dp_matches_single_process_4way():
                 losses[int(pid)] = (float(l0), float(l1))
     assert set(losses) == {0, 1}, outs
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+    # The --shard_rotate collective crossed the process boundary and every
+    # worker verified its post-roll rows bit-exactly (multihost_worker.py).
+    assert all("ROTATE 0 OK" in o or "ROTATE 1 OK" in o for o in outs), outs
 
     import jax
 
