@@ -506,7 +506,7 @@ class CollatePlan:
 
 
 def collate_structures(structs: list[dict], pads: PadSizes | None = None,
-                       align: int = 128, build_tables: bool = True,
+                       align: int = 128, build_tables: "bool | str" = True,
                        build_perms: bool = False,
                        plan: "CollatePlan | None" = None,
                        idxs: "list[int] | None" = None) -> GraphBatch:
@@ -605,28 +605,50 @@ def collate_structures(structs: list[dict], pads: PadSizes | None = None,
     # Pay off for training (they remove the scatter-adds in gather
     # *backwards*); for inference on wide-degree graphs (RNA knn) the
     # gather blow-up costs more than the forward scatters it saves.
+    # build_tables="derive": wire only the scan aux arrays plus a tiny
+    # int32 shape marker per key (its length = the static table width K);
+    # ops/ell.py::materialize_tables expands them into the bit-identical
+    # (G, K) table + mask INSIDE the compiled step — the tables are ~45%
+    # of a wired QM9 batch but a few-microsecond iota/gather on device.
     if build_tables:
+        derive = build_tables == "derive"
+
         def k_auto(ids, n_valid, fixed):
             if fixed:
                 return fixed
             counts = np.bincount(ids[:n_valid], minlength=1) if n_valid else np.array([0])
             return max(8, int(np.ceil(counts.max(initial=1) / 8)) * 8)
 
-        for name, ids, n_valid, groups, fixed in (
-            ("eg_dst", eg_dst_p, n_eg, pads.n, pads.kg_dst),
-            ("eg_src", eg_src_p, n_eg, pads.n, pads.kg_src),
-            ("el_dst", el_dst_p, n_el, pads.n, pads.kl_dst),
-            ("el_src", el_src_p, n_el, pads.n, pads.kl_src),
-            ("t2_ji", t2["idx_ji"], n_t2, pads.el, pads.k2_ji),
-            ("t2_kj", t2["idx_kj"], n_t2, pads.el, pads.k2_kj),
-            ("t1_ji", t1["idx_ji"], n_t1, pads.el, pads.k1_ji),
-            ("t1_jj", t1["idx_jj"], n_t1, pads.el, pads.k1_jj),
+        for name, ids, n_valid, groups, fixed, rows in (
+            ("eg_dst", eg_dst_p, n_eg, pads.n, pads.kg_dst, pads.eg),
+            ("eg_src", eg_src_p, n_eg, pads.n, pads.kg_src, pads.eg),
+            ("el_dst", el_dst_p, n_el, pads.n, pads.kl_dst, pads.el),
+            ("el_src", el_src_p, n_el, pads.n, pads.kl_src, pads.el),
+            ("t2_ji", t2["idx_ji"], n_t2, pads.el, pads.k2_ji, pads.t2),
+            ("t2_kj", t2["idx_kj"], n_t2, pads.el, pads.k2_kj, pads.t2),
+            ("t1_ji", t1["idx_ji"], n_t1, pads.el, pads.k1_ji, pads.t1),
+            ("t1_jj", t1["idx_jj"], n_t1, pads.el, pads.k1_jj, pads.t1),
         ):
-            tbl, tmask = build_ell_table_np(
-                ids, n_valid, groups, k_auto(ids, n_valid, fixed)
-            )
-            tables[name] = tbl
-            tables[name + "_mask"] = tmask
+            k = k_auto(ids, n_valid, fixed)
+            if derive:
+                if name + "_off" in tables:
+                    off = tables[name + "_off"]
+                else:
+                    perm, poff = build_perm_np(ids, n_valid, groups, rows)
+                    tables[name + "_perm"] = perm
+                    tables[name + "_poff"] = poff
+                    off = poff
+                kmax = int(np.diff(off).max(initial=0))
+                if kmax > k:
+                    raise ValueError(
+                        f"ELL overflow: max group size {kmax} > table "
+                        f"width {k} for {name}"
+                    )
+                tables[name + "_dk"] = np.zeros(k, np.int32)
+            else:
+                tbl, tmask = build_ell_table_np(ids, n_valid, groups, k)
+                tables[name] = tbl
+                tables[name + "_mask"] = tmask
 
     # ---- gather-backward scan permutations (ops/ell.py::gather_perm) ----
     # Built on request for the skew-padded gather keys so their backwards
@@ -640,10 +662,12 @@ def collate_structures(structs: list[dict], pads: PadSizes | None = None,
             ("t2_kj", t2["idx_kj"], n_t2, pads.el, pads.t2),
             ("t1_jj", t1["idx_jj"], n_t1, pads.el, pads.t1),
         ):
+            if name + "_perm" in tables:  # built by the derive branch above
+                continue
             perm, poff = build_perm_np(ids, n_valid, groups, rows)
             tables[name + "_perm"] = perm
             tables[name + "_poff"] = poff
-        if "el_dst_off" not in tables:
+        if "el_dst_off" not in tables and "el_dst_perm" not in tables:
             perm, poff = build_perm_np(el_dst_p, n_el, pads.n, pads.el)
             tables["el_dst_perm"] = perm
             tables["el_dst_poff"] = poff

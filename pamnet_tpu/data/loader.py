@@ -85,7 +85,7 @@ class GraphLoader:
         plan_pads: bool = False,
         balanced_batches: bool = False,
         align: int = 128,
-        build_tables: bool = True,
+        build_tables: "bool | str" = True,
         build_perms: bool | None = None,
         precompute_basis: bool = True,
         num_spherical: int = 7,

@@ -25,6 +25,7 @@ from pamnet_tpu.config import PAMNetConfig
 from pamnet_tpu.data.batch import GraphBatch
 from pamnet_tpu.models import layers as L
 from pamnet_tpu.ops.basis import bessel_rbf, spherical_basis
+from pamnet_tpu.ops.ell import materialize_tables
 from pamnet_tpu.ops.segment import segment_mean, segment_sum
 
 import math
@@ -171,7 +172,12 @@ def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
     # multiply-adds.  Exact reassociation of silu((sbf ⊙ rep(cbf)) @ W + b);
     # removes the (T, 42) materialization + (T,42)@(42,dim) matmul streams —
     # ~2 full padded T-row passes on the 1.8M-triplet RNA batch.
+    # Derive-mode batches (collate_structures(build_tables="derive")) carry
+    # tiny shape markers instead of the (G, K) ELL tables; expand them here
+    # (inside the compiled program, bit-identical to the host builder) so
+    # all downstream routing sees the same dict either way.
     tables = g.tables if (cfg.scatter_free and g.tables is not None) else None
+    tables = materialize_tables(tables)
     fold_sbf = (
         g.sbf_radial is not None
         and _fold_gate(cfg, tables)

@@ -327,3 +327,72 @@ def build_ell_table_np(ids, num_valid: int, num_groups: int, k: int):
     table[sorted_ids, within] = order.astype(np.int32)
     tmask[sorted_ids, within] = 1.0
     return table, tmask
+
+
+def derive_ell_table(offsets, k: int, perm=None):
+    """On-DEVICE ELL table materialization, bit-identical to
+    :func:`build_ell_table_np`.
+
+    The host table is ``table[g, s] = order[offsets[g] + s]`` for
+    ``s < count[g]`` (zeros + zero mask elsewhere), where ``order`` is the
+    stable by-group sort of the valid rows.  Both ingredients are already
+    wired for the scan-routing machinery — ``order == perm[:num_valid]``
+    from :func:`build_perm_np` (or the identity when the stream is stored
+    group-sorted, i.e. ``offsets`` from :func:`build_offsets_np`) — so the
+    (G, K) int table + (G, K) f32 mask never need to cross the wire: they
+    are ~45%% of a QM9 batch's staged bytes but a few-microsecond iota/
+    gather on device.
+
+    Args:
+      offsets: (G+1,) int32 group offsets (``offsets[-1] == num_valid``).
+      k: static table width.
+      perm: (R,) int32 stable sort permutation (padding parked past
+        ``num_valid``), or None when the stream is already group-sorted.
+    Returns: (table (G, k) int32, tmask (G, k) float32), exact matches of
+      the host builder's output.
+    """
+    counts = offsets[1:] - offsets[:-1]  # (G,)
+    lane = jnp.arange(k, dtype=offsets.dtype)
+    slot = offsets[:-1, None] + lane[None, :]  # (G, k)
+    valid = lane[None, :] < counts[:, None]
+    if perm is not None:
+        # Invalid slots may reach past the perm; clamp before the gather
+        # (they are overwritten with 0 below either way).
+        vals = perm[jnp.minimum(slot, perm.shape[0] - 1)]
+    else:
+        vals = slot
+    table = jnp.where(valid, vals, 0).astype(jnp.int32)
+    return table, valid.astype(jnp.float32)
+
+
+def materialize_tables(tables: dict | None) -> dict | None:
+    """Materialize derive-mode ELL tables inside the compiled program.
+
+    ``collate_structures(build_tables="derive")`` wires, per table key, a
+    tiny int32 shape marker ``KEY_dk`` (its length IS the static table
+    width) next to the scan aux arrays (``KEY_off`` for group-sorted
+    streams, ``KEY_perm``+``KEY_poff`` otherwise) instead of the (G, K)
+    table + mask.  This expands every marker into the exact host-built
+    ``KEY``/``KEY_mask`` pair via :func:`derive_ell_table` and drops the
+    markers; host-built batches (no markers) pass through untouched, so
+    downstream routing (models/layers.py _agg/_gath, the fold/fuse gates)
+    sees an identical dict either way.
+    """
+    if not tables:
+        return tables
+    marks = [k for k in tables if k.endswith("_dk")]
+    if not marks:
+        return tables
+    out = {k: v for k, v in tables.items() if not k.endswith("_dk")}
+    for mark in marks:
+        name = mark[: -len("_dk")]
+        k = tables[mark].shape[-1]
+        if name + "_poff" in tables:
+            tbl, tmask = derive_ell_table(
+                tables[name + "_poff"], k, tables[name + "_perm"]
+            )
+        else:
+            tbl, tmask = derive_ell_table(tables[name + "_off"], k)
+        out[name] = tbl
+        out[name + "_mask"] = tmask
+    return out

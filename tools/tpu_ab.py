@@ -33,6 +33,8 @@ Experiments (select with argv[1:], default: dtype):
           (gather_sorted/gather_perm; PAMNetConfig.gather_backward).
   evalpads stacked eval with plan-pinned vs LPT-balanced eval composition
           (order-free, so balancing eval is exactly metric-preserving).
+  derive  device-derived ELL tables (materialize_tables) vs host-built
+          wired tables: scan-step cost + production epoch-wall gain.
 
 Each experiment prints one `AB <name> variant=... mol_s=...` line per variant.
 """
@@ -718,6 +720,93 @@ def exp_gathbwd():
           f"all_vs_ell={d/base:.3f}x")
 
 
+def exp_derive():
+    """Device-derived ELL tables (collate build_tables="derive" +
+    ops/ell.py::materialize_tables) vs host-built wired tables, at the
+    shipped bench config (balanced pads, bf16, default routing).
+
+    Two questions, both answered same-process:
+    1. STEP: does re-deriving the (G, K) tables inside every scan step cost
+       device time?  (Expected ~free: an iota + tiny int gather vs the
+       step's ~292 MB of gather streams.)  Losses must match EXACTLY —
+       the derived tables are bit-identical to the host builder's.
+    2. WALL: what does removing the tables+masks from the wire (~45% of a
+       QM9 batch's staged bytes) buy the production streaming path
+       (GraphLoader + prefetch + EpochRunner + StackedEval)?
+    """
+    import numpy as np
+
+    cfg = PAMNetConfig(dataset="QM9", dim=128, n_layer=6, cutoff_l=5.0,
+                       cutoff_g=5.0, compute_dtype="bfloat16")
+    bs = 32
+    mols = synthetic_qm9_dataset(16 * bs, seed=480)
+    params = init_pamnet(jax.random.PRNGKey(480), cfg)
+    optimizer = make_optimizer(warmup_exponential(1e-4, steps_per_epoch=64),
+                               clip_norm=1000.0)
+    state = init_train_state(params, optimizer, use_ema=True)
+
+    results = {}
+    for name, mode in [("host", True), ("derive", "derive"),
+                       ("host_again", True)]:
+        loader = GraphLoader(mols, "qm9", cfg.cutoff_l, cfg.cutoff_g,
+                             batch_size=bs, shuffle=False, drop_last=True,
+                             balanced_batches=True, build_tables=mode,
+                             build_perms=True)
+        batches = _stage(loader)
+        staged_mb = sum(
+            l.nbytes for l in jax.tree.leaves(batches[0])) / 1e6
+        print(f"  [{name}] wire={staged_mb:.3f} MB/batch", file=sys.stderr)
+        tiled, n_steps = _tile(batches, 512)
+        results[name] = _run_scan("derive", name, cfg, state, tiled,
+                                  n_steps, bs)
+    base = max(results["host"], results["host_again"])
+    print(f"AB derive step_vs_host={results['derive']/base:.3f}x")
+
+    # ---- epoch wall through the production streaming path ----
+    from pamnet_tpu.train.loop import (
+        EpochRunner,
+        StackedEval,
+        init_train_state as _init,
+        make_multistep_eval,
+    )
+    from pamnet_tpu.utils.wirepack import stage as to_device
+
+    wmols = synthetic_qm9_dataset(4096 + 512, seed=481)
+    wall = {}
+    for name, mode in [("host", True), ("derive", "derive"),
+                       ("host_again", True)]:
+        train_loader = GraphLoader(wmols[:4096], "qm9", cfg.cutoff_l,
+                                   cfg.cutoff_g, batch_size=bs, shuffle=True,
+                                   seed=480, drop_last=True,
+                                   balanced_batches=True, build_tables=mode,
+                                   build_perms=bool(mode))
+        val_loader = GraphLoader(wmols[4096:], "qm9", cfg.cutoff_l,
+                                 cfg.cutoff_g, batch_size=bs,
+                                 balanced_batches=True, build_tables=mode,
+                                 build_perms=False)
+        st = _init(params, optimizer, use_ema=True)
+        runner = EpochRunner(cfg, optimizer, "l1", ema_decay=0.999,
+                             scan_steps=16)
+        ev = StackedEval(make_multistep_eval(cfg), val_loader, to_device)
+        t0 = time.time()
+        st, _, ng, _ = runner.run(st, train_loader.prefetch(), to_device)
+        mae = float(np.abs(ev.predict(st.ema) - ev.y).mean())
+        print(f"  [{name}] compile epoch: {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            st, _, ng, _ = runner.run(st, train_loader.prefetch(), to_device)
+            mae = float(np.abs(ev.predict(st.ema) - ev.y).mean())
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        wall[name] = ng / best
+        print(f"AB derivewall variant={name} mol_s={wall[name]:.1f} "
+              f"mae={mae:.4f}")
+    base = max(wall["host"], wall["host_again"])
+    print(f"AB derivewall wall_vs_host={wall['derive']/base:.3f}x")
+
+
 def exp_evalpads():
     """Stacked one-dispatch evaluation (train/loop.py StackedEval) with the
     eval loaders' current plan-pinned pads vs LPT-balanced composition.
@@ -815,7 +904,7 @@ def main():
          "devgraph": exp_devgraph, "scan": exp_scan,
          "scanimpl": exp_scanimpl, "aggfwd": exp_aggfwd,
          "aggmix": exp_aggmix, "gathbwd": exp_gathbwd,
-         "evalpads": exp_evalpads,
+         "evalpads": exp_evalpads, "derive": exp_derive,
          "planpads": exp_planpads}[w]()
 
 
