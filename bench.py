@@ -140,10 +140,20 @@ def bench_epoch():
     cfg = qm9_bench_config()
     mols = synthetic_qm9_dataset(n_train + n_val, seed=481)
     t0 = time.time()
+    # build_tables="derive": the shipped streaming default — ship tiny shape
+    # markers instead of the (G, K) ELL tables (~45% of the wired bytes) and
+    # re-derive them bit-identically inside the compiled step
+    # (ops/ell.py::materialize_tables).  Costs 3.3% on pre-staged device
+    # steps but won the streaming epoch wall 1.69x same-process
+    # (tools/tpu_ab.py derive).  PAMNET_BENCH_TABLES=host restores wired
+    # tables.
+    tables = (True if os.environ.get("PAMNET_BENCH_TABLES") == "host"
+              else "derive")
     train_loader = GraphLoader(mols[:n_train], "qm9", cfg.cutoff_l,
                                cfg.cutoff_g, batch_size=batch_size,
                                shuffle=True, seed=480, drop_last=True,
-                               balanced_batches=True)
+                               balanced_batches=True, build_tables=tables,
+                               build_perms=True)
     # Mirrors the drivers: eval loaders skip the gather-backward aux arrays
     # (no backward to route).
     val_loader = GraphLoader(mols[n_train:], "qm9", cfg.cutoff_l, cfg.cutoff_g,

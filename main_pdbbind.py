@@ -73,6 +73,12 @@ def main():
                              'HBM once; each epoch is one dispatch (batch '
                              'order reshuffled per epoch; incompatible '
                              'with --dp)')
+    parser.add_argument('--host_tables', action='store_true',
+                        help='Ship host-built ELL tables for the streaming '
+                             'train path instead of the default derive mode '
+                             '(markers on the wire, tables rebuilt '
+                             'bit-identically on device; see main_qm9.py). '
+                             '--device_data always stages host tables')
     parser.add_argument('--save_dir', type=str, default='',
                         help='Save the best-val full train state to '
                              '<save_dir>/PDBbind/best_model.msgpack (the '
@@ -130,9 +136,14 @@ def main():
     common = dict(dataset_kind='pdbbind', cutoff_l=cfg.cutoff_l,
                   cache_dir=args.structure_cache or None,
                   cutoff_g=cfg.cutoff_g)
+    # Streaming epochs re-ship every batch -> derive-mode ELL tables
+    # (markers on the wire, rebuilt bit-identically on device; 1.69x epoch
+    # wall, tools/tpu_ab.py derive). --device_data stages once -> host tables.
+    train_tables = True if (args.device_data or args.host_tables) else "derive"
     train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
                                shuffle=True, seed=args.seed,
-                               balanced_batches=args.balanced_batches, **common)
+                               balanced_batches=args.balanced_batches,
+                               **{**common, "build_tables": train_tables})
     # Eval composition is free (labels ride in the batches; metrics are
     # global reductions), so eval splits always use LPT-balanced packing —
     # metric-identical, tighter pads (tools/tpu_ab.py evalpads).

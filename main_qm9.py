@@ -116,6 +116,18 @@ def main():
                              'tables; evaluate geometry on device (~2%% '
                              'slower step, ~60%% smaller batches on the '
                              'wire — pair with --device_data staging)')
+    parser.add_argument('--host_tables', action='store_true',
+                        help='Ship host-built (G,K) ELL tables on the wire '
+                             'for the streaming train path instead of the '
+                             'default derive mode (tiny shape markers, '
+                             'tables rebuilt bit-identically inside the '
+                             'compiled step — ops/ell.py::'
+                             'materialize_tables). Derive cuts staged bytes '
+                             '~45%% and won the streaming epoch wall 1.69x '
+                             'same-process (tools/tpu_ab.py derive); host '
+                             'tables cost ~3%% less device step time, so '
+                             '--device_data (wire paid once at staging) '
+                             'always uses them')
     parser.add_argument('--no_ell_tables', action='store_true',
                         help='Skip host-built ELL aggregation tables '
                              '(sorted-offset prefix scans remain). Trades '
@@ -211,11 +223,22 @@ def main():
                   cache_dir=args.structure_cache or None,
                   cache_workers=args.cache_workers)
     dp = max(args.dp, 0)
+    # Streaming train epochs re-ship every batch, so they default to
+    # derive-mode ELL tables (markers on the wire, tables rebuilt
+    # bit-identically on device — 1.69x epoch wall, tools/tpu_ab.py derive);
+    # --device_data stages once and keeps the ~3% faster host tables.
+    if args.no_ell_tables:
+        train_tables = False
+    elif args.device_data or args.host_tables:
+        train_tables = True
+    else:
+        train_tables = "derive"
     t_load = time.time()
     train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
                                shuffle=True, seed=args.seed, drop_last=True,
                                balanced_batches=args.balanced_batches,
-                               build_perms=True, **common)
+                               build_perms=True,
+                               **{**common, "build_tables": train_tables})
     # Eval composition is free — labels ride inside the batches and the
     # metric is a global mean over molecules — so the eval splits ALWAYS use
     # LPT-balanced packing with their own exact pads (each split compiles

@@ -68,6 +68,12 @@ def main():
                              'HBM once; each epoch is one dispatch (batch '
                              'order reshuffled per epoch; incompatible '
                              'with --dp)')
+    parser.add_argument('--host_tables', action='store_true',
+                        help='Ship host-built ELL tables for the streaming '
+                             'train path instead of the default derive mode '
+                             '(markers on the wire, tables rebuilt '
+                             'bit-identically on device; see main_qm9.py). '
+                             '--device_data always stages host tables')
     parser.add_argument('--scan_steps', type=int, default=1,
                         help='Optimizer steps per device dispatch')
     parser.add_argument('--structure_cache', type=str, default='',
@@ -126,9 +132,15 @@ def main():
 
     common = dict(dataset_kind='rna', cutoff_l=cfg.cutoff_l, cutoff_g=cfg.cutoff_g,
                   cache_dir=args.structure_cache or None)
+    # Streaming epochs re-ship every batch -> derive-mode ELL tables
+    # (markers on the wire, rebuilt bit-identically on device; 1.69x epoch
+    # wall on QM9, tools/tpu_ab.py derive). --device_data stages once ->
+    # host tables.
+    train_tables = True if (args.device_data or args.host_tables) else "derive"
     train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
                                shuffle=True, seed=args.seed,
-                               balanced_batches=args.balanced_batches, **common)
+                               balanced_batches=args.balanced_batches,
+                               **{**common, "build_tables": train_tables})
     # Eval composition is free (the SmoothL1 val loss is a global mean over
     # structures), so the val split always uses LPT-balanced packing —
     # metric-identical, tighter pads (tools/tpu_ab.py evalpads).
