@@ -4,11 +4,15 @@ molecules/sec/chip, plus the RNA-Puzzles scoring secondary metric
 (BASELINE.md) in the same run.
 
 Prints one JSON line PER TASK — the FIRST line is the primary QM9 training
-contract; the second is RNA scoring:
+contract (pre-staged device steps); the second is RNA scoring; the third is
+the QM9 epoch-WALL line (production streaming path incl. host pipeline +
+eval); the fourth is PDBbind training throughput:
   {"metric": "qm9_...", "value": N, "unit": "molecules/sec/chip",
    "vs_baseline": N, "baseline": 450.0, "baseline_estimated": true}
   {"metric": "rna_scoring_throughput", ...}
-`PAMNET_BENCH_TASK=qm9|rna` restricts to one task.
+  {"metric": "qm9_epoch_wall_throughput", ...}
+  {"metric": "pdbbind_train_throughput", ...}
+`PAMNET_BENCH_TASK=qm9|rna|epoch|pdbbind` restricts to one task/line.
 
 Baselines are ESTIMATES (marked `baseline_estimated` in the JSON): the
 reference is a single-GPU PyTorch/PyG implementation that publishes no
@@ -40,6 +44,14 @@ REFERENCE_GPU_MOL_PER_SEC = 450.0
 # ~60 graphs/sec (batch-16 forwards incl. per-forward knn(50) + triplet CUDA
 # kernels over ~1900-atom structures on a V100-class GPU).
 REFERENCE_GPU_RNA_GRAPHS_PER_SEC = 60.0
+# PDBbind training (reference recipe main_pdbbind.py:42-54: dim=128 L=3
+# batch=32): estimated ~100 graphs/sec on a V100-class GPU — each step runs
+# per-forward radius(6.0) construction + triplet enumeration over ~15k
+# atoms/batch (3-subgraph complexes, ~400-700 atoms each) plus fwd+bwd;
+# scaled from the QM9 estimate by the ~25x atom count and the denser
+# radius-6 A global graph (~40-80 neighbors/atom vs QM9's ~15).  Marked
+# estimated like the others (no CUDA GPU here to measure).
+REFERENCE_GPU_PDBBIND_GRAPHS_PER_SEC = 100.0
 
 
 def bench_rna():
@@ -149,11 +161,18 @@ def bench_epoch():
     # tables.
     tables = (True if os.environ.get("PAMNET_BENCH_TABLES") == "host"
               else "derive")
+    # wire_geometry="derive": ship positions + integer tables only;
+    # distances/angles/bases recomputed inside the compiled step.  Costs
+    # 3.1% on pre-staged device steps but won the streaming epoch wall
+    # 2.02x same-process (wire 0.771 -> 0.387 MB/batch; tools/tpu_ab.py
+    # geo).  PAMNET_BENCH_GEOMETRY=host restores wired float geometry.
+    geometry = (os.environ.get("PAMNET_BENCH_GEOMETRY", "derive")
+                if tables == "derive" else "host")
     train_loader = GraphLoader(mols[:n_train], "qm9", cfg.cutoff_l,
                                cfg.cutoff_g, batch_size=batch_size,
                                shuffle=True, seed=480, drop_last=True,
                                balanced_batches=True, build_tables=tables,
-                               build_perms=True)
+                               build_perms=True, wire_geometry=geometry)
     # Mirrors the drivers: eval loaders skip the gather-backward aux arrays
     # (no backward to route).
     val_loader = GraphLoader(mols[n_train:], "qm9", cfg.cutoff_l, cfg.cutoff_g,

@@ -79,6 +79,13 @@ def main():
                              '(markers on the wire, tables rebuilt '
                              'bit-identically on device; see main_qm9.py). '
                              '--device_data always stages host tables')
+    parser.add_argument('--host_geometry', action='store_true',
+                        help='Ship host-precomputed float geometry on the '
+                             'streaming-train wire instead of the default '
+                             'derive mode (positions + integer tables only; '
+                             'geometry recomputed in the compiled step — '
+                             '2.02x QM9 epoch wall, tools/tpu_ab.py geo). '
+                             '--device_data always ships host geometry')
     parser.add_argument('--save_dir', type=str, default='',
                         help='Save the best-val full train state to '
                              '<save_dir>/PDBbind/best_model.msgpack (the '
@@ -140,9 +147,12 @@ def main():
     # (markers on the wire, rebuilt bit-identically on device; 1.69x epoch
     # wall, tools/tpu_ab.py derive). --device_data stages once -> host tables.
     train_tables = True if (args.device_data or args.host_tables) else "derive"
+    train_geometry = ("host" if (args.device_data or args.host_geometry)
+                      else "derive")
     train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
                                shuffle=True, seed=args.seed,
                                balanced_batches=args.balanced_batches,
+                               wire_geometry=train_geometry,
                                **{**common, "build_tables": train_tables})
     # Eval composition is free (labels ride in the batches; metrics are
     # global reductions), so eval splits always use LPT-balanced packing —

@@ -116,6 +116,19 @@ def main():
                              'tables; evaluate geometry on device (~2%% '
                              'slower step, ~60%% smaller batches on the '
                              'wire — pair with --device_data staging)')
+    parser.add_argument('--host_geometry', action='store_true',
+                        help='Ship host-precomputed float geometry '
+                             '(distances + spherical-basis tables) on the '
+                             'streaming-train wire instead of the default '
+                             'derive mode (positions + integer tables only; '
+                             'geometry recomputed inside the compiled step — '
+                             'the reference recomputes it per forward too, '
+                             'models.py:104-188). Derive halves the '
+                             'remaining wire bytes and won the streaming '
+                             'epoch wall 2.02x same-process at ~3%% '
+                             'device-step cost (tools/tpu_ab.py geo); '
+                             '--device_data (wire paid once at staging) '
+                             'always ships host geometry')
     parser.add_argument('--host_tables', action='store_true',
                         help='Ship host-built (G,K) ELL tables on the wire '
                              'for the streaming train path instead of the '
@@ -233,11 +246,17 @@ def main():
         train_tables = True
     else:
         train_tables = "derive"
+    # Streaming train batches also default to derive-mode GEOMETRY: the wire
+    # ships positions + integer tables only and the compiled step recomputes
+    # distances/bases (2.02x epoch wall, ~3% device-step cost; tools/
+    # tpu_ab.py geo).  --device_data stages once, so it keeps host geometry.
+    train_geometry = ("host" if (args.device_data or args.host_geometry)
+                      else "derive")
     t_load = time.time()
     train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
                                shuffle=True, seed=args.seed, drop_last=True,
                                balanced_batches=args.balanced_batches,
-                               build_perms=True,
+                               build_perms=True, wire_geometry=train_geometry,
                                **{**common, "build_tables": train_tables})
     # Eval composition is free — labels ride inside the batches and the
     # metric is a global mean over molecules — so the eval splits ALWAYS use

@@ -74,6 +74,13 @@ def main():
                              '(markers on the wire, tables rebuilt '
                              'bit-identically on device; see main_qm9.py). '
                              '--device_data always stages host tables')
+    parser.add_argument('--host_geometry', action='store_true',
+                        help='Ship host-precomputed float geometry on the '
+                             'streaming-train wire instead of the default '
+                             'derive mode (positions + integer tables only; '
+                             'geometry recomputed in the compiled step — '
+                             '2.02x QM9 epoch wall, tools/tpu_ab.py geo). '
+                             '--device_data always ships host geometry')
     parser.add_argument('--scan_steps', type=int, default=1,
                         help='Optimizer steps per device dispatch')
     parser.add_argument('--structure_cache', type=str, default='',
@@ -137,9 +144,12 @@ def main():
     # wall on QM9, tools/tpu_ab.py derive). --device_data stages once ->
     # host tables.
     train_tables = True if (args.device_data or args.host_tables) else "derive"
+    train_geometry = ("host" if (args.device_data or args.host_geometry)
+                      else "derive")
     train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
                                shuffle=True, seed=args.seed,
                                balanced_batches=args.balanced_batches,
+                               wire_geometry=train_geometry,
                                **{**common, "build_tables": train_tables})
     # Eval composition is free (the SmoothL1 val loss is a global mean over
     # structures), so the val split always uses LPT-balanced packing —

@@ -509,7 +509,8 @@ def collate_structures(structs: list[dict], pads: PadSizes | None = None,
                        align: int = 128, build_tables: "bool | str" = True,
                        build_perms: bool = False,
                        plan: "CollatePlan | None" = None,
-                       idxs: "list[int] | None" = None) -> GraphBatch:
+                       idxs: "list[int] | None" = None,
+                       wire_geometry: str = "host") -> GraphBatch:
     """Assemble precomputed per-molecule structures into one padded batch by
     offsetting node ids (by node counts) and edge ids (by local-edge counts).
 
@@ -517,7 +518,20 @@ def collate_structures(structs: list[dict], pads: PadSizes | None = None,
     built), every field is one native concat-offset-pad pass straight into
     its padded buffer; the numpy list path is the always-available fallback
     and correctness oracle — batch assembly is the per-step host cost that
-    must stay under the device step time."""
+    must stay under the device step time.
+
+    ``wire_geometry="derive"`` drops every float geometry payload from the
+    batch — ``dist_g``/``dist_l``/``sbf_radial``/``cbf2``/``cbf1`` — even
+    when the structures carry them: the wire then ships positions + integer
+    index tables only, and the model recomputes distances/angles/bases
+    inside the compiled step (``models/pamnet.py`` device fallbacks — the
+    reference recomputes geometry per forward too, models.py:104-188).
+    Cuts the streamed bytes roughly in half on top of derive-mode ELL
+    tables and removes the float concat passes from host collation; costs
+    a few percent of device-step time (geometry re-evaluated per step) and
+    f32 instead of host-f64 geometry (the reference's own precision)."""
+    if wire_geometry not in ("host", "derive"):
+        raise ValueError(f"wire_geometry must be 'host'|'derive', got {wire_geometry!r}")
     if plan is not None:
         idxs = np.asarray(idxs)
         nb = len(idxs)
@@ -539,6 +553,8 @@ def collate_structures(structs: list[dict], pads: PadSizes | None = None,
         y = np.array([s["y"] for s in structs], dtype=np.float32)
         has_basis = all("sbf_radial" in s for s in structs)
         has_dist = all("dist_g" in s for s in structs)
+    if wire_geometry == "derive":
+        has_basis = has_dist = False
 
     num_nodes = int(n_per.sum())
     n_el = int(el_per.sum())
@@ -556,9 +572,12 @@ def collate_structures(structs: list[dict], pads: PadSizes | None = None,
 
     fields: dict[str, np.ndarray] = {}
     if plan is not None:
+        geo_keys = {"dist_g", "dist_l", "sbf_radial", "cbf2", "cbf1"}
         for key, _, okind, pdim in _INT_FIELDS:
             fields[key] = plan.cat_i32(key, idxs, offs_of[okind], pad_of[pdim])
         for key in plan.f32_keys:
+            if wire_geometry == "derive" and key in geo_keys:
+                continue
             pdim = dict(_F32_FIELDS + _F32_BASIS_FIELDS)[key]
             fields[key] = plan.cat_f32(key, idxs, pad_of[pdim])
     else:

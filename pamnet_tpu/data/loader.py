@@ -87,6 +87,7 @@ class GraphLoader:
         align: int = 128,
         build_tables: "bool | str" = True,
         build_perms: bool | None = None,
+        wire_geometry: str = "host",
         precompute_basis: bool = True,
         num_spherical: int = 7,
         num_radial: int = 6,
@@ -101,6 +102,16 @@ class GraphLoader:
         self.ladder_pads = ladder_pads
         self._align = align
         self.build_tables = build_tables
+        # wire_geometry="derive": ship positions + integer tables only; the
+        # model recomputes distances/angles/bases inside the compiled step
+        # (collate_structures docstring).  Implies skipping the host basis
+        # precompute — it would never reach the wire.
+        if wire_geometry not in ("host", "derive"):
+            raise ValueError(
+                f"wire_geometry must be 'host'|'derive', got {wire_geometry!r}")
+        self.wire_geometry = wire_geometry
+        if wire_geometry == "derive":
+            precompute_basis = False
         # Gather-backward scan-routing aux arrays (collate build_perms):
         # only training steps differentiate through gathers, so default to
         # following build_tables (training loaders build both; inference/
@@ -352,12 +363,14 @@ class GraphLoader:
                 yield collate_structures(
                     None, pads, build_tables=self.build_tables,
                     build_perms=self.build_perms, plan=plan, idxs=idxs,
+                    wire_geometry=self.wire_geometry,
                 )
             else:
                 yield collate_structures(
                     [self.structs[i] for i in idxs], pads,
                     build_tables=self.build_tables,
                     build_perms=self.build_perms,
+                    wire_geometry=self.wire_geometry,
                 )
 
     def prefetch(self, depth: int = 2):

@@ -35,6 +35,9 @@ Experiments (select with argv[1:], default: dtype):
           (order-free, so balancing eval is exactly metric-preserving).
   derive  device-derived ELL tables (materialize_tables) vs host-built
           wired tables: scan-step cost + production epoch-wall gain.
+  geo     derive-mode GEOMETRY (positions+indices only on the wire;
+          distances/bases recomputed in the compiled step) vs host float
+          geometry: scan-step cost + production epoch-wall gain.
 
 Each experiment prints one `AB <name> variant=... mol_s=...` line per variant.
 """
@@ -807,6 +810,94 @@ def exp_derive():
     print(f"AB derivewall wall_vs_host={wall['derive']/base:.3f}x")
 
 
+def exp_geo():
+    """Derive-mode GEOMETRY (collate wire_geometry="derive": positions +
+    integer tables only on the wire; distances/angles/bases recomputed
+    inside the compiled step) vs host-precomputed float geometry, on top of
+    the shipped derive-mode ELL tables.
+
+    Two questions, both same-process:
+    1. STEP: what does re-evaluating geometry per step cost on pre-staged
+       batches?  (--device_basis measured ~2% at this recipe; derive also
+       recomputes distances.)
+    2. WALL: what does dropping ~50% of the remaining wired bytes + the
+       float collation passes buy the production streaming epoch
+       (host-pipeline-bound at 1 CPU core; VERDICT r4 #1)?
+    """
+    import numpy as np
+
+    cfg = PAMNetConfig(dataset="QM9", dim=128, n_layer=6, cutoff_l=5.0,
+                       cutoff_g=5.0, compute_dtype="bfloat16")
+    bs = 32
+    mols = synthetic_qm9_dataset(16 * bs, seed=480)
+    params = init_pamnet(jax.random.PRNGKey(480), cfg)
+    optimizer = make_optimizer(warmup_exponential(1e-4, steps_per_epoch=64),
+                               clip_norm=1000.0)
+    state = init_train_state(params, optimizer, use_ema=True)
+
+    results = {}
+    for name, geo in [("host", "host"), ("derive", "derive"),
+                      ("host_again", "host")]:
+        loader = GraphLoader(mols, "qm9", cfg.cutoff_l, cfg.cutoff_g,
+                             batch_size=bs, shuffle=False, drop_last=True,
+                             balanced_batches=True, build_tables="derive",
+                             build_perms=True, wire_geometry=geo)
+        batches = _stage(loader)
+        staged_mb = sum(
+            l.nbytes for l in jax.tree.leaves(batches[0])) / 1e6
+        print(f"  [{name}] wire={staged_mb:.3f} MB/batch", file=sys.stderr)
+        tiled, n_steps = _tile(batches, 512)
+        results[name] = _run_scan("geo", name, cfg, state, tiled,
+                                  n_steps, bs)
+    base = max(results["host"], results["host_again"])
+    print(f"AB geo step_vs_host={results['derive']/base:.3f}x")
+
+    # ---- epoch wall through the production streaming path ----
+    from pamnet_tpu.train.loop import (
+        EpochRunner,
+        StackedEval,
+        init_train_state as _init,
+        make_multistep_eval,
+    )
+    from pamnet_tpu.utils.wirepack import stage as to_device
+
+    wmols = synthetic_qm9_dataset(4096 + 512, seed=481)
+    wall = {}
+    for name, geo in [("host", "host"), ("derive", "derive"),
+                      ("host_again", "host")]:
+        train_loader = GraphLoader(wmols[:4096], "qm9", cfg.cutoff_l,
+                                   cfg.cutoff_g, batch_size=bs, shuffle=True,
+                                   seed=480, drop_last=True,
+                                   balanced_batches=True,
+                                   build_tables="derive", build_perms=True,
+                                   wire_geometry=geo)
+        # Eval stays host-geometry both ways (staged once; not under test).
+        val_loader = GraphLoader(wmols[4096:], "qm9", cfg.cutoff_l,
+                                 cfg.cutoff_g, batch_size=bs,
+                                 balanced_batches=True, build_perms=False)
+        st = _init(params, optimizer, use_ema=True)
+        runner = EpochRunner(cfg, optimizer, "l1", ema_decay=0.999,
+                             scan_steps=16)
+        ev = StackedEval(make_multistep_eval(cfg), val_loader, to_device)
+        t0 = time.time()
+        st, _, ng, _ = runner.run(st, train_loader.prefetch(), to_device)
+        mae = float(np.abs(ev.predict(st.ema) - ev.y).mean())
+        print(f"  [{name}] compile epoch: {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            st, _, ng, _ = runner.run(st, train_loader.prefetch(), to_device)
+            mae = float(np.abs(ev.predict(st.ema) - ev.y).mean())
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        wall[name] = ng / best
+        print(f"AB geowall variant={name} mol_s={wall[name]:.1f} "
+              f"mae={mae:.4f}")
+    base = max(wall["host"], wall["host_again"])
+    print(f"AB geowall wall_vs_host={wall['derive']/base:.3f}x")
+
+
 def exp_evalpads():
     """Stacked one-dispatch evaluation (train/loop.py StackedEval) with the
     eval loaders' current plan-pinned pads vs LPT-balanced composition.
@@ -905,7 +996,7 @@ def main():
          "scanimpl": exp_scanimpl, "aggfwd": exp_aggfwd,
          "aggmix": exp_aggmix, "gathbwd": exp_gathbwd,
          "evalpads": exp_evalpads, "derive": exp_derive,
-         "planpads": exp_planpads}[w]()
+         "planpads": exp_planpads, "geo": exp_geo}[w]()
 
 
 if __name__ == "__main__":
