@@ -207,8 +207,13 @@ def _ring_pi(ring, z, nbrs):
     double bond -> 0 (still sp2, e.g. quinone carbons); otherwise a lone
     pair -> 2 for N/O/S/Se/P with all-single bonds (pyrrole/furan/
     thiophene).  Disqualifiers: non-sp2-capable element, triple or
-    cumulated double bonds, saturated C."""
+    cumulated double bonds, saturated C; and the system as a whole must
+    contain at least one in-system double/``ar`` bond — lone pairs alone
+    cannot make a pi system (OpenBabel requires sp2/conjugation evidence),
+    else a carbon-free saturated heterocycle (pentazolidine, cyclo-S6)
+    would count 2 pi per atom and falsely hit 4n+2 (ADVICE r4)."""
     pi = 0
+    any_multiple_in = False
     for v in ring:
         if int(z[v]) not in _AROMATIC_ELEMENTS:
             return None
@@ -227,12 +232,15 @@ def _ring_pi(ring, z, nbrs):
             return None  # sp / cumulated double: not aromatic-capable
         if doubles_in or ar_in:
             pi += 1
+            any_multiple_in = True
         elif doubles_out:
             pi += 0  # sp2 but contributes no ring electrons (quinone C)
         elif int(z[v]) in (7, 8, 15, 16, 34):
             pi += 2  # lone pair (pyrrole N, furan O, thiophene S)
         else:
             return None  # saturated C/B: breaks conjugation
+    if not any_multiple_in:
+        return None  # all-lone-pair "system": no conjugation evidence
     return pi
 
 
@@ -248,19 +256,44 @@ def _huckel_aromatic(n: int, z, nbrs) -> np.ndarray:
     1. every simple 3-7 cycle on its own (benzene, pyridine, thiophene...);
     2. fused-ring ENVELOPES — CAPABLE base cycles (every member passes the
        per-atom checks) sharing >= 2 atoms (an edge, for simple cycles)
-       union into systems, and a system whose combined atom set passes
-       4n+2 marks all members.  This is what makes azulene aromatic (each
-       of the 5/7 rings fails alone; the fused 10-atom system counts
-       10 pi), while pentalene (8 pi) and biphenylene (12 pi) envelopes
-       correctly stay out.  Disqualified rings (sp3/metal/cumulated
-       members) are excluded from the union rather than killing it, so a
-       saturated ring fused onto azulene leaves the 10-pi system intact.
-       NOT modeled: sub-envelopes of a failing maximal union (a capable
-       4n ring fused onto azulene drags the union to 4n and the 10-pi
-       azulene subsystem is never retested) — registered divergence
-       (featurizer_divergences.py: azulene-plus-4n-ring)."""
+       union into edge-connected systems, and any system whose combined
+       atom set passes 4n+2 marks all members.  This is what makes azulene
+       aromatic (each of the 5/7 rings fails alone; the fused 10-atom
+       system counts 10 pi), while pentalene (8 pi) and biphenylene
+       (12 pi) envelopes correctly stay out.  Disqualified rings
+       (sp3/metal/cumulated members) are excluded from the union rather
+       than killing it, so a saturated ring fused onto azulene leaves the
+       10-pi system intact.  A FAILING union recurses into its
+       sub-systems (remove one ring, re-split into edge-connected
+       components, bounded), so a capable 4n ring fused onto azulene no
+       longer hides the 10-pi azulene subsystem — mirroring OpenBabel,
+       whose cycle traversal (typer.cpp) tests each cycle/system
+       independently of the maximal envelope (closed the round-4
+       azulene-plus-4n-ring registered divergence)."""
     arom = np.zeros(n, dtype=bool)
-    adj = [[w for w, _ in nbrs[v]] for v in range(n)]
+    # Prune the cycle search to atoms that could belong to a qualifying
+    # ring: members contribute via an incident double/ar bond or (hetero)
+    # lone pair, and saturated C always fails _ring_pi — so restrict the
+    # DFS to that subgraph.  On real pocket mol2 files (mostly saturated
+    # or explicitly ar-marked carbon) this removes most of the
+    # O(n * degree^6) Python DFS cost (ADVICE r4); a molecule with no
+    # double/ar bonds at all skips the pass outright (no ring can carry
+    # the required in-system multiple bond).
+    candidate = np.zeros(n, dtype=bool)
+    any_multiple = False
+    for v in range(n):
+        zv = int(z[v])
+        if zv not in _AROMATIC_ELEMENTS:
+            continue
+        has_multi = any(o in ("2", "ar") for _, o in nbrs[v])
+        any_multiple = any_multiple or has_multi
+        candidate[v] = has_multi or zv in (7, 8, 15, 16, 34)
+    if not any_multiple:
+        return arom
+    adj = [
+        [w for w, _ in nbrs[v] if candidate[w]] if candidate[v] else []
+        for v in range(n)
+    ]
     capable: list[frozenset] = []
     for ring in _simple_cycles(n, adj):
         pi = _ring_pi(ring, z, nbrs)
@@ -282,18 +315,13 @@ def _huckel_aromatic(n: int, z, nbrs) -> np.ndarray:
     # inputs that hit the _simple_cycles density cap skip the envelope pass
     # (per-ring marks stand; real molecules have tens of rings).
     if 2 <= len(capable) <= 2000:
-        parent = list(range(len(capable)))
-
-        def find(i):
-            while parent[i] != i:
-                parent[i] = parent[parent[i]]
-                i = parent[i]
-            return i
-
+        # Ring-adjacency graph: rings sharing >= 2 atoms (an edge, for
+        # simple cycles) are fused.
         by_atom: dict[int, list[int]] = {}
         for i, ring in enumerate(capable):
             for v in ring:
                 by_atom.setdefault(v, []).append(i)
+        radj: list[set[int]] = [set() for _ in capable]
         for i, ring in enumerate(capable):
             shared: dict[int, int] = {}
             for v in ring:
@@ -301,19 +329,48 @@ def _huckel_aromatic(n: int, z, nbrs) -> np.ndarray:
                     if k > i:
                         shared[k] = shared.get(k, 0) + 1
             for k, cnt in shared.items():
-                if cnt >= 2:  # >= 2 shared atoms = a shared edge for cycles
-                    parent[find(i)] = find(k)
-        systems: dict[int, frozenset] = {}
-        for i, ring in enumerate(capable):
-            r = find(i)
-            systems[r] = systems.get(r, frozenset()) | ring
-        for i, atoms in systems.items():
-            if atoms == capable[i]:
-                continue  # single-ring system: already tested in pass 1
+                if cnt >= 2:
+                    radj[i].add(k)
+                    radj[k].add(i)
+
+        def components(idxs: frozenset) -> list[frozenset]:
+            left = set(idxs)
+            out = []
+            while left:
+                comp, stack = set(), [left.pop()]
+                while stack:
+                    i = stack.pop()
+                    comp.add(i)
+                    for k in radj[i]:
+                        if k in left:
+                            left.remove(k)
+                            stack.append(k)
+                out.append(frozenset(comp))
+            return out
+
+        seen: set[frozenset] = set()
+
+        def search(ring_idxs: frozenset) -> None:
+            """Test the union of an edge-connected ring set; on 4n+2 mark
+            its atoms, else recurse into every sub-system reachable by
+            removing one member ring (bounded by ``seen``)."""
+            if ring_idxs in seen or len(seen) > 256:
+                return
+            seen.add(ring_idxs)
+            if len(ring_idxs) <= 1:
+                return  # single rings were tested in pass 1
+            atoms = frozenset().union(*(capable[i] for i in ring_idxs))
             pi = _ring_pi(atoms, z, nbrs)
             if pi is not None and pi % 4 == 2:
                 for v in atoms:
                     arom[v] = True
+                return
+            for r in ring_idxs:
+                for comp in components(ring_idxs - {r}):
+                    search(comp)
+
+        for comp in components(frozenset(range(len(capable)))):
+            search(comp)
     return arom
 
 

@@ -114,19 +114,26 @@ def synthetic_pdbbind_complex(rng: np.random.Generator,
             if np.min(np.linalg.norm(lig[:i] - cand, axis=1)) > 1.1:
                 break
         lig[i] = cand
+    # Pocket atoms sit in the 2.5-6 A shell around ligand atoms with
+    # protein-like exclusion (~2.2 A non-bonded heavy-atom spacing ->
+    # ~0.05 atoms/A^3, i.e. ~40-60 radius-6 neighbors like real pockets;
+    # tighter spacing inflates the global graph far past real skew).
     pocket = np.zeros((npk, 3), dtype=np.float32)
-    placed = 0
-    while placed < npk:
+    placed = tries = 0
+    while placed < npk and tries < npk * 400:
+        tries += 1
         anchor = lig[int(rng.integers(0, nlg))]
         d = rng.standard_normal(3)
         d /= np.linalg.norm(d) + 1e-12
-        cand = (anchor + d * rng.uniform(2.0, 6.0)).astype(np.float32)
+        cand = (anchor + d * rng.uniform(2.5, 6.0)).astype(np.float32)
         near_lig = np.min(np.linalg.norm(lig - cand, axis=1))
         near_pk = (np.min(np.linalg.norm(pocket[:placed] - cand, axis=1))
                    if placed else np.inf)
-        if near_lig > 1.2 and near_pk > 1.2:
+        if near_lig > 2.0 and near_pk > 2.2:
             pocket[placed] = cand
             placed += 1
+    pocket = pocket[:placed]
+    npk = placed
     d = np.linalg.norm(pocket[:, None, :] - lig[None, :, :], axis=-1)
     y = float(np.exp(-d).sum() + rng.normal(0, 0.1))
     complex_pos = np.concatenate([pocket, lig])

@@ -287,10 +287,39 @@ class DeviceDataTrainer:
                 donate_argnums=(0,),
             )
 
+    def _sync_phase(self, state: TrainState, nb: int) -> None:
+        """``--resume`` support: a freshly constructed trainer holding a
+        state with a non-zero optimizer step means earlier epochs ran in a
+        previous process.  Fast-forward the permutation stream and the
+        cross-shard rotation phase to where an uninterrupted run would be,
+        so resumed runs keep the intended randomization/rotation cadence
+        (the loss accounting was always exact either way)."""
+        spe = (nb // self.dp) if self.dp > 1 else nb
+        done = int(state.step) // spe if spe else 0
+        if not done:
+            return
+        self._epochs_run = done
+        d = self.dp
+        for _ in range(done):  # replay the per-epoch permutation draws
+            if d > 1:
+                for _ in range(d):
+                    self._rng.permutation(nb // d)
+            else:
+                self._rng.permutation(nb)
+        if d > 1 and self.rotate_every:
+            # Rotations fired at the starts of completed epochs 1..done-1;
+            # the start-of-epoch check in run() adds epoch ``done``'s own.
+            r = ((done - 1) // self.rotate_every) % d
+            for _ in range(r):
+                self.staged = self._rotate(self.staged)
+            self._rot = r
+
     def run(self, state: TrainState):
         import numpy as np
 
         nb = len(self.counts)
+        if self._epochs_run == 0:
+            self._sync_phase(state, nb)
         if self.dp > 1:
             d = self.dp
             local = nb // d

@@ -285,6 +285,48 @@ def install_shims() -> None:
 
 
 _MODELS = None
+_HASHES_OK = None
+
+
+def verify_reference_hashes() -> None:
+    """Refuse to EXECUTE reference code whose bytes changed since the pinned
+    snapshot (tests/reference_hashes.json): /root/reference is retrieved
+    public content, and these parity tests import and run it with test
+    privileges — a planted edit would execute here.  Set
+    ``PAMNET_REFEXEC_TRUST=1`` only after re-reviewing the tree (then
+    regenerate the manifest: sha256 every ``*.py`` under the root)."""
+    global _HASHES_OK
+    if _HASHES_OK:
+        return
+    import hashlib
+    import json
+    import os
+
+    if os.environ.get("PAMNET_REFEXEC_TRUST") == "1":
+        _HASHES_OK = True
+        return
+    manifest = os.path.join(os.path.dirname(__file__), "reference_hashes.json")
+    with open(manifest) as f:
+        pinned = json.load(f)
+    bad = []
+    for rel, want in pinned.items():
+        p = os.path.join(REFERENCE_ROOT, rel)
+        try:
+            with open(p, "rb") as f:
+                got = hashlib.sha256(f.read()).hexdigest()
+        except OSError:
+            bad.append(f"{rel}: missing")
+            continue
+        if got != want:
+            bad.append(f"{rel}: sha256 {got[:12]}… != pinned {want[:12]}…")
+    if bad:
+        raise RuntimeError(
+            "refexec: the reference tree changed since its hashes were "
+            "pinned; refusing to execute it as a test oracle "
+            "(PAMNET_REFEXEC_TRUST=1 overrides after review): "
+            + "; ".join(bad)
+        )
+    _HASHES_OK = True
 
 
 def load_reference_models():
@@ -295,6 +337,7 @@ def load_reference_models():
     global _MODELS
     if _MODELS is not None:
         return _MODELS
+    verify_reference_hashes()
     install_shims()
     sys.path.insert(0, REFERENCE_ROOT)
     try:
@@ -324,6 +367,7 @@ def load_reference_module(name: str):
     the shims active — the reference's own code, unmodified."""
     import importlib
 
+    verify_reference_hashes()
     install_shims()
     sys.path.insert(0, REFERENCE_ROOT)
     try:

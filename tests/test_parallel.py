@@ -122,5 +122,53 @@ def test_device_data_rotation_rotates_and_accounts_exactly(rng):
         np.testing.assert_array_equal(np.asarray(trainer.staged.z), want)
 
 
+def test_device_data_resume_keeps_rotation_and_rng_phase(rng):
+    """--resume into --device_data --dp: a freshly constructed trainer with
+    a mid-run state fast-forwards its permutation stream and rotation phase
+    (DeviceDataTrainer._sync_phase), so the resumed epochs reproduce an
+    uninterrupted run exactly — same losses, same staged shard contents
+    (ADVICE r4: the rotation cycle previously restarted at zero)."""
+    from pamnet_tpu.train.loop import (
+        DeviceDataTrainer,
+        init_train_state,
+        make_optimizer,
+    )
+    from pamnet_tpu.train.schedules import constant
+
+    D = 4
+    batches = [_batch(rng, n_mols=2 + (i % 3)) for i in range(2 * D)]
+    to_device = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
+    optimizer = make_optimizer(constant(1e-3))
+    cfg = trainer_cfg()
+    params = init_pamnet(jax.random.PRNGKey(2), cfg)
+
+    def fresh_trainer():
+        return DeviceDataTrainer(cfg, optimizer, "l1", batches, to_device,
+                                 ema_decay=0.999, seed=3, dp=D,
+                                 rotate_every=1)
+
+    # Uninterrupted: 4 epochs in one trainer.
+    a = fresh_trainer()
+    sa = init_train_state(params, optimizer, use_ema=True)
+    ref = []
+    for _ in range(4):
+        sa, loss_sum, ng, nbd = a.run(sa)
+        ref.append(loss_sum)
+
+    # Interrupted: 2 epochs, then a NEW trainer resumes from the state.
+    b = fresh_trainer()
+    sb = init_train_state(params, optimizer, use_ema=True)
+    for _ in range(2):
+        sb, *_ = b.run(sb)
+    c = fresh_trainer()  # simulates a restarted process + --resume
+    got = []
+    for _ in range(2):
+        sb, loss_sum, *_ = c.run(sb)
+        got.append(loss_sum)
+    np.testing.assert_allclose(got, ref[2:], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(c.staged.z),
+                                  np.asarray(a.staged.z))
+
+
 def trainer_cfg():
     return PAMNetConfig(dataset="QM9", dim=16, n_layer=1)

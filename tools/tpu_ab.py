@@ -898,6 +898,63 @@ def exp_geo():
     print(f"AB geowall wall_vs_host={wall['derive']/base:.3f}x")
 
 
+def exp_pdbbind():
+    """PDBbind training-step aggregation routing at the reference recipe
+    (dim=128 L=3 b=32) over realistic 3-subgraph complexes: the radius-6 A
+    global graph has ~40-80 neighbors/atom with ~2.4x max-vs-mean skew —
+    RNA-like wide degrees where ELL tables lost for inference — so the QM9
+    table defaults need re-measuring here (VERDICT r4 #3).
+
+    Variants (all derive-geometry, the shipped streaming default):
+      ell      derive-mode ELL tables + perms (QM9-style default)
+      noell    offsets + perms only (sorted scans forward, scan backwards)
+      hosttab  host-built wired ELL tables (wire paid, no re-derivation)
+    """
+    from pamnet_tpu.data.synthetic import synthetic_pdbbind_complex_dataset
+    from pamnet_tpu.train.schedules import constant
+
+    cfg = PAMNetConfig(dataset="PDBbind", dim=128, n_layer=3,
+                       cutoff_l=2.0, cutoff_g=6.0, compute_dtype="bfloat16")
+    bs = 32
+    mols = [dict(pos=g["attrs"], feat=g["labels"], y=g["y"])
+            for g in synthetic_pdbbind_complex_dataset(4 * bs)]
+    params = init_pamnet(jax.random.PRNGKey(480), cfg)
+    optimizer = make_optimizer(constant(1e-3))
+    state = init_train_state(params, optimizer, use_ema=False)
+
+    results = {}
+    for name, tables in [("ell", "derive"), ("noell", False),
+                         ("hosttab", True), ("ell_again", "derive")]:
+        loader = GraphLoader(mols, "pdbbind", cfg.cutoff_l, cfg.cutoff_g,
+                             batch_size=bs, shuffle=False, drop_last=True,
+                             balanced_batches=True, build_tables=tables,
+                             build_perms=True,
+                             wire_geometry="derive" if tables != True else "host")  # noqa: E712
+        batches = _stage(loader, n_blocks=4)
+        print(f"  [{name}] pads={loader.pads}", file=sys.stderr)
+        tiled, n_steps = _tile(batches, 64)
+
+        run = make_multistep_train_step(cfg, optimizer, "mse", ema_decay=None)
+        t0 = time.time()
+        s1, losses = run(state, tiled)
+        _ = float(losses[-1])
+        print(f"  [{name}] compile+first: {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            s1, losses = run(state, tiled)
+            last = float(losses[-1])
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        results[name] = n_steps * bs / best
+        print(f"AB pdbbind variant={name} ms_step={best/n_steps*1e3:.3f} "
+              f"g_s={results[name]:.1f} loss={last:.4f}")
+    base = max(results["ell"], results["ell_again"])
+    print(f"AB pdbbind noell_vs_ell={results['noell']/base:.3f}x "
+          f"hosttab_vs_ell={results['hosttab']/base:.3f}x")
+
+
 def exp_evalpads():
     """Stacked one-dispatch evaluation (train/loop.py StackedEval) with the
     eval loaders' current plan-pinned pads vs LPT-balanced composition.
@@ -996,7 +1053,8 @@ def main():
          "scanimpl": exp_scanimpl, "aggfwd": exp_aggfwd,
          "aggmix": exp_aggmix, "gathbwd": exp_gathbwd,
          "evalpads": exp_evalpads, "derive": exp_derive,
-         "planpads": exp_planpads, "geo": exp_geo}[w]()
+         "planpads": exp_planpads, "geo": exp_geo,
+         "pdbbind": exp_pdbbind}[w]()
 
 
 if __name__ == "__main__":
