@@ -74,11 +74,12 @@ def main():
                              'order reshuffled per epoch; incompatible '
                              'with --dp)')
     parser.add_argument('--host_tables', action='store_true',
-                        help='Ship host-built ELL tables for the streaming '
-                             'train path instead of the default derive mode '
-                             '(markers on the wire, tables rebuilt '
-                             'bit-identically on device; see main_qm9.py). '
-                             '--device_data always stages host tables')
+                        help='Build ELL aggregation tables (the QM9 default) '
+                             'instead of the PDBbind default sorted-scan/'
+                             'perm routing: the radius-6 A global graphs '
+                             'carry ~40-80 neighbors/atom and the (G,K) ELL '
+                             'gathers measured 2.8x SLOWER there '
+                             '(tools/tpu_ab.py pdbbind)')
     parser.add_argument('--host_geometry', action='store_true',
                         help='Ship host-precomputed float geometry on the '
                              'streaming-train wire instead of the default '
@@ -140,19 +141,24 @@ def main():
                        cutoff_l=args.cutoff_l, cutoff_g=args.cutoff_g,
                        compute_dtype=args.compute_dtype)
 
+    # NO ELL tables by default on PDBbind (train AND eval): the radius-6 A
+    # global graphs carry ~40-80 neighbors/atom with 2-3x max-vs-mean skew,
+    # and the (G, K) ELL gather-aggregation measured 2.8x SLOWER than the
+    # sorted-scan/perm routing at realistic complexes (tools/tpu_ab.py
+    # pdbbind) — the RNA wide-degree lesson extends to training.
+    # --host_tables opts back into ELL (e.g. for narrow-degree data).
     common = dict(dataset_kind='pdbbind', cutoff_l=cfg.cutoff_l,
                   cache_dir=args.structure_cache or None,
-                  cutoff_g=cfg.cutoff_g)
-    # Streaming epochs re-ship every batch -> derive-mode ELL tables
-    # (markers on the wire, rebuilt bit-identically on device; 1.69x epoch
-    # wall, tools/tpu_ab.py derive). --device_data stages once -> host tables.
-    train_tables = True if (args.device_data or args.host_tables) else "derive"
+                  cutoff_g=cfg.cutoff_g,
+                  build_tables=bool(args.host_tables))
+    train_tables = bool(args.host_tables)
     train_geometry = ("host" if (args.device_data or args.host_geometry)
                       else "derive")
     train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
                                shuffle=True, seed=args.seed,
                                balanced_batches=args.balanced_batches,
                                wire_geometry=train_geometry,
+                               build_perms=True,
                                **{**common, "build_tables": train_tables})
     # Eval composition is free (labels ride in the batches; metrics are
     # global reductions), so eval splits always use LPT-balanced packing —

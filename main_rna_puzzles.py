@@ -69,11 +69,12 @@ def main():
                              'order reshuffled per epoch; incompatible '
                              'with --dp)')
     parser.add_argument('--host_tables', action='store_true',
-                        help='Ship host-built ELL tables for the streaming '
-                             'train path instead of the default derive mode '
-                             '(markers on the wire, tables rebuilt '
-                             'bit-identically on device; see main_qm9.py). '
-                             '--device_data always stages host tables')
+                        help='Build ELL aggregation tables (the QM9 default) '
+                             'instead of the RNA default sorted-scan/perm '
+                             'routing: the knn(50) superset makes degrees '
+                             'wide enough that the (G,K) ELL gathers '
+                             'measured 1.16x slower at the reference '
+                             'training recipe (tools/tpu_ab.py rnatables)')
     parser.add_argument('--host_geometry', action='store_true',
                         help='Ship host-precomputed float geometry on the '
                              'streaming-train wire instead of the default '
@@ -137,16 +138,19 @@ def main():
                        cutoff_l=args.cutoff_l, cutoff_g=args.cutoff_g,
                        flow=args.flow, compute_dtype=args.compute_dtype)
 
+    # NO ELL tables by default on RNA (train AND eval): the knn(50)
+    # superset makes degrees as wide as PDBbind's radius-6 graphs, and the
+    # sorted-scan/perm routing measured 1.16x faster than derive-mode ELL
+    # tables at the reference training recipe (tools/tpu_ab.py rnatables;
+    # inference had tables off since round 1).  --host_tables opts back in.
     common = dict(dataset_kind='rna', cutoff_l=cfg.cutoff_l, cutoff_g=cfg.cutoff_g,
-                  cache_dir=args.structure_cache or None)
-    # Streaming epochs re-ship every batch -> derive-mode ELL tables
-    # (markers on the wire, rebuilt bit-identically on device; 1.69x epoch
-    # wall on QM9, tools/tpu_ab.py derive). --device_data stages once ->
-    # host tables.
-    train_tables = True if (args.device_data or args.host_tables) else "derive"
+                  cache_dir=args.structure_cache or None,
+                  build_tables=bool(args.host_tables))
+    train_tables = bool(args.host_tables)
     train_geometry = ("host" if (args.device_data or args.host_geometry)
                       else "derive")
     train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
+                               build_perms=True,
                                shuffle=True, seed=args.seed,
                                balanced_batches=args.balanced_batches,
                                wire_geometry=train_geometry,

@@ -43,9 +43,15 @@ class GraphLoader:
         compiled shapes — e.g. the 5-graph tail of the 21-structure RNA
         scoring set stops paying 16-graph triplet-gather cost.  Costs one
         XLA compile per distinct bucket (O(log sizes) by construction);
-        intended for inference.  Keep False for shard_map DP (uniform
-        shapes across shards) and scan-block training (uniform shapes
-        along the scan axis).
+        intended for inference.  ``"exact"`` pads each batch to its own
+        counts rounded to ``align`` only (no geometric growth): the
+        tightest shapes, one compile per DISTINCT batch shape — right for
+        a fixed scoring set iterated many times (the geometric ladder
+        overshoots counts ~20% on average), wrong for serve-style open
+        request streams (unbounded compile count — serve_rna.py keeps the
+        geometric buckets).  Keep False for shard_map DP (uniform shapes
+        across shards) and scan-block training (uniform shapes along the
+        scan axis).
       plan_pads: FREEZE the batch composition at construction and pin the
         pads to the maxima over the planned batches, instead of the
         adversarial "sum of the batch_size largest molecules" bound that
@@ -326,16 +332,19 @@ class GraphLoader:
         return out
 
     def _batch_pads(self, idxs: list[int]) -> PadSizes:
-        """Geometric bucket for ONE batch's summed counts, capped at the
-        fixed worst-case pads (which always cover the counts, so the cap is
-        safe); ELL widths stay the dataset-wide maxima so table shapes only
-        vary with the bucketed group dims."""
+        """Geometric bucket (or, with ``ladder_pads="exact"``, the
+        align-rounded exact counts) for ONE batch's summed counts, capped
+        at the fixed worst-case pads (which always cover the counts, so
+        the cap is safe); ELL widths stay the dataset-wide maxima so table
+        shapes only vary with the bucketed group dims."""
         import dataclasses as _dc
 
         n, eg, el, t2, t1 = self._counts[idxs].sum(axis=0)
-        b = PadSizes.bucketed(int(n), max(int(eg), 1), max(int(el), 1),
-                              max(int(t2), 1), max(int(t1), 1), len(idxs),
-                              align=self._align)
+        mk = (PadSizes.for_counts if self.ladder_pads == "exact"
+              else PadSizes.bucketed)
+        b = mk(int(n), max(int(eg), 1), max(int(el), 1),
+               max(int(t2), 1), max(int(t1), 1), len(idxs),
+               align=self._align)
         w = self.pads
         return _dc.replace(
             w,

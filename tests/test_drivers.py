@@ -126,6 +126,38 @@ def test_main_qm9_data_parallel(tmp_path):
     assert "Best Validation MAE" in r.stdout
 
 
+def test_main_pdbbind_data_parallel(tmp_path, rng):
+    """--dp 2 on the virtual CPU mesh: the PDBbind driver's shard_map path
+    (signed ΔE pooling under DP; VERDICT r4 #2)."""
+    root = str(tmp_path / "data" / "PDBbind")
+    write_tu_dataset(root, "train_val", _pdbbind_graphs(rng, 12))
+    write_tu_dataset(root, "test", _pdbbind_graphs(rng, 4))
+    r = _run(
+        [os.path.join(REPO, "main_pdbbind.py"), "--platform", "cpu",
+         "--epochs", "1", "--dim", "8", "--n_layer", "1",
+         "--batch_size", "2", "--data_root", root, "--dp", "2"],
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Testing RMSE" in r.stdout
+
+
+def test_main_rna_puzzles_data_parallel(tmp_path, rng):
+    """--dp 2 on the virtual CPU mesh: the RNA driver's shard_map path
+    (mean pool + target_to_source flow under DP; VERDICT r4 #2)."""
+    root = str(tmp_path / "data" / "RNA-Puzzles")
+    write_tu_dataset(root, "train", _rna_graphs(rng, 8))
+    write_tu_dataset(root, "val", _rna_graphs(rng, 3))
+    r = _run(
+        [os.path.join(REPO, "main_rna_puzzles.py"), "--platform", "cpu",
+         "--epochs", "1", "--dim", "8", "--n_layer", "1",
+         "--batch_size", "2", "--data_root", root, "--dp", "2"],
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Epoch: 001" in r.stdout
+
+
 def test_inference_driver_csv_contract(tmp_path, rng):
     """inference_rna_puzzles.py end-to-end on a tiny generated dataset with
     the real reference checkpoint (dim=16, n_layer=1), checking the CSV

@@ -169,6 +169,39 @@ def test_ladder_pads_shrink_tail_and_match_fixed(rng):
                                np.concatenate(preds_f), rtol=2e-5, atol=2e-6)
 
 
+def test_exact_pads_tighter_than_ladder_and_match(rng):
+    """ladder_pads="exact": per-batch pads are the align-rounded counts —
+    never larger than the geometric buckets, always covering the counts,
+    with per-graph model outputs unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    from pamnet_tpu.config import PAMNetConfig
+    from pamnet_tpu.models import apply_pamnet, init_pamnet
+
+    mols = _mols(rng, 11)
+    ladder = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=8,
+                         build_tables=False, ladder_pads=True, align=8)
+    exact = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=8,
+                        build_tables=False, ladder_pads="exact", align=8)
+    lb, eb = list(ladder), list(exact)
+    for lgb, egb in zip(lb, eb):
+        for f in ("z", "eg_src", "el_src", "t2_ji", "t1_ji"):
+            assert getattr(egb, f).shape[0] <= getattr(lgb, f).shape[0], f
+        # Exact pads still cover every real row (mask count < pad size).
+        for m, f in (("eg_mask", "eg_src"), ("t1_mask", "t1_ji")):
+            assert int(getattr(egb, m).sum()) <= getattr(egb, f).shape[0]
+    cfg = PAMNetConfig(dataset="QM9", dim=16, n_layer=1, cutoff_l=5.0,
+                       cutoff_g=5.0)
+    params = init_pamnet(jax.random.PRNGKey(0), cfg)
+    run = jax.jit(apply_pamnet, static_argnums=2)
+    for lgb, egb in zip(lb, eb):
+        n = int(lgb.graph_mask.sum())
+        a = np.asarray(run(params, jax.tree.map(jnp.asarray, lgb), cfg))[:n]
+        b = np.asarray(run(params, jax.tree.map(jnp.asarray, egb), cfg))[:n]
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
 def test_plan_pads_fixed_composition_and_coverage(rng):
     """plan_pads: pads pinned to the frozen plan's maxima (never larger
     than worst case), composition identical across epochs (order may

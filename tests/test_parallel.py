@@ -122,6 +122,118 @@ def test_device_data_rotation_rotates_and_accounts_exactly(rng):
         np.testing.assert_array_equal(np.asarray(trainer.staged.z), want)
 
 
+def _branch_setup(kind, rng, n_micro, per, build_tables=True):
+    """(cfg, loss_kind, micro_batches) for the PDBbind / RNA forward
+    branches — uniform shapes via one GraphLoader over all microbatch
+    molecules (reference branch semantics: models.py:117-157)."""
+    from pamnet_tpu.data.loader import GraphLoader
+    from pamnet_tpu.data.synthetic import (
+        synthetic_pdbbind_graph,
+        synthetic_rna_graph,
+    )
+
+    mols = []
+    if kind == "pdbbind":
+        for _ in range(n_micro * per):
+            g = synthetic_pdbbind_graph(rng)
+            mols.append(dict(pos=g["attrs"], feat=g["labels"], y=g["y"]))
+        cfg = PAMNetConfig(dataset="PDBbind", dim=16, n_layer=1,
+                           cutoff_l=2.0, cutoff_g=6.0)
+        loss_kind = "mse"
+    else:
+        for _ in range(n_micro * per):
+            g = synthetic_rna_graph(rng)
+            mols.append(dict(pos=g["attrs"], z=g["labels"].astype(np.int32),
+                             y=g["y"]))
+        cfg = PAMNetConfig(dataset="rna_dp", dim=16, n_layer=1,
+                           cutoff_l=2.6, cutoff_g=20.0,
+                           flow="target_to_source")
+        loss_kind = "smooth_l1"
+    loader = GraphLoader(mols, kind, cfg.cutoff_l, cfg.cutoff_g,
+                         batch_size=per, build_tables=build_tables,
+                         build_perms=build_tables)
+    return cfg, loss_kind, list(loader)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("kind", ["pdbbind", "rna"])
+def test_dp_step_matches_single_device_branches(rng, kind):
+    """4-way DP == single big batch for the PDBbind (signed ΔE pooling) and
+    RNA (mean pool + target_to_source flow) branches — QM9 is covered by
+    tests/test_train.py::test_dp_step_matches_single_device; these two
+    branches previously ran DP only on paper (VERDICT r4 #3)."""
+    import optax
+
+    from pamnet_tpu.train.loop import (
+        _loss_terms,
+        init_train_state,
+        make_dp_train_step,
+        make_mesh as make_loop_mesh,
+        stack_microbatches,
+    )
+
+    D = 4
+    cfg, loss_kind, micro = _branch_setup(kind, rng, D, 2)
+    micro = [jax.tree.map(jnp.asarray, b) for b in micro]
+    stacked = stack_microbatches(micro)
+    params = init_pamnet(jax.random.PRNGKey(0), cfg)
+    opt = optax.sgd(0.1)  # linear in grads: well-conditioned comparison
+    mesh = make_loop_mesh(D)
+    dp_step = make_dp_train_step(cfg, opt, loss_kind, mesh)
+    state0 = init_train_state(params, opt)
+    state_dp, loss_dp = dp_step(state0, stacked)
+
+    def big_loss(p):
+        totals, counts = [], []
+        for b in micro:
+            pred = apply_pamnet(p, b, cfg)
+            t, c = _loss_terms(pred, b.y, b.graph_mask, loss_kind)
+            totals.append(t)
+            counts.append(c)
+        return sum(totals) / sum(counts)
+
+    loss_ref, grads_ref = jax.value_and_grad(big_loss)(params)
+    np.testing.assert_allclose(float(loss_dp), float(loss_ref), rtol=1e-5)
+    updates, _ = opt.update(grads_ref, state0.opt_state, params)
+    import optax as _optax
+
+    params_ref = _optax.apply_updates(params, updates)
+    for a, b in zip(jax.tree.leaves(state_dp.params),
+                    jax.tree.leaves(params_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("kind", ["pdbbind", "rna"])
+def test_dp_stacked_eval_matches_single_branches(rng, kind):
+    """StackedEval(dp=2) equals the single-device evaluator on the PDBbind
+    and RNA branches (batch count NOT divisible by D: dummy-pad path)."""
+    from pamnet_tpu.train.loop import (
+        StackedEval,
+        make_dp_multistep_eval,
+        make_multistep_eval,
+    )
+    from pamnet_tpu.train.loop import make_mesh as make_loop_mesh
+
+    cfg, _, batches = _branch_setup(kind, rng, 5, 2, build_tables=False)
+
+    class _Loader:
+        def __iter__(self):
+            return iter(batches)
+
+    to_device = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
+    params = init_pamnet(jax.random.PRNGKey(1), cfg)
+    single = StackedEval(make_multistep_eval(cfg), _Loader(), to_device,
+                         verbose=False)
+    dp = StackedEval(make_dp_multistep_eval(cfg, make_loop_mesh(2)),
+                     _Loader(), to_device, verbose=False, dp=2)
+    np.testing.assert_array_equal(single.y, dp.y)
+    np.testing.assert_allclose(dp.predict(params), single.predict(params),
+                               rtol=2e-5, atol=1e-5)
+
+
 def test_device_data_resume_keeps_rotation_and_rng_phase(rng):
     """--resume into --device_data --dp: a freshly constructed trainer with
     a mid-run state fast-forwards its permutation stream and rotation phase

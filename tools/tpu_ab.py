@@ -38,6 +38,11 @@ Experiments (select with argv[1:], default: dtype):
   geo     derive-mode GEOMETRY (positions+indices only on the wire;
           distances/bases recomputed in the compiled step) vs host float
           geometry: scan-step cost + production epoch-wall gain.
+  pdbbind PDBbind training step at the reference recipe over realistic
+          3-subgraph complexes: ELL tables vs sorted-scan/perm routing vs
+          host-wired tables (wide-degree radius-6 graphs).
+  rnatables RNA training at the reference recipe: derive-mode ELL tables
+          vs sorted-scan/perm routing (knn-50 wide degrees).
 
 Each experiment prints one `AB <name> variant=... mol_s=...` line per variant.
 """
@@ -393,6 +398,13 @@ def exp_ladder():
     b = run("ladder", True)
     a2 = run("fixed_again", False)
     print(f"AB ladder speedup={b/max(a,a2):.3f}x (vs best fixed)")
+    # ladder_pads="exact": per-batch counts rounded to align only (no
+    # geometric growth) — the geometric buckets overshoot real counts ~20%
+    # on average, pure pad waste on a FIXED scoring set; one compile per
+    # distinct batch shape instead of per bucket.
+    c = run("exact", "exact")
+    b2 = run("ladder_again", True)
+    print(f"AB ladder exact_vs_ladder={c/max(b,b2):.3f}x")
 
 
 def exp_rna_runner():
@@ -955,6 +967,56 @@ def exp_pdbbind():
           f"hosttab_vs_ell={results['hosttab']/base:.3f}x")
 
 
+def exp_rnatables():
+    """RNA TRAINING at the reference recipe (dim=16 L=1 b=8, SmoothL1,
+    main_rna_puzzles.py:45-58) over synthetic candidate structures:
+    derive-mode ELL tables vs sorted-scan/perm routing.  The knn(50)
+    superset makes RNA degrees as wide as PDBbind's radius-6 graphs, where
+    ELL measured 2.8x slower (exp_pdbbind) — RNA training defaults need
+    the same measurement (inference already defaults tables off)."""
+    from pamnet_tpu.data.synthetic import synthetic_rna_dataset
+    from pamnet_tpu.train.schedules import constant
+
+    cfg = PAMNetConfig(dataset="rna_ab", dim=16, n_layer=1, cutoff_l=2.6,
+                       cutoff_g=20.0, flow="target_to_source",
+                       compute_dtype="bfloat16")
+    bs = 8
+    mols = [dict(pos=g["attrs"], z=g["labels"].astype(int), y=g["y"])
+            for g in synthetic_rna_dataset(16 * bs)]
+    params = init_pamnet(jax.random.PRNGKey(480), cfg)
+    optimizer = make_optimizer(constant(1e-4))
+    state = init_train_state(params, optimizer, use_ema=False)
+
+    results = {}
+    for name, tables in [("ell", "derive"), ("noell", False),
+                         ("ell_again", "derive")]:
+        loader = GraphLoader(mols, "rna", cfg.cutoff_l, cfg.cutoff_g,
+                             batch_size=bs, shuffle=False, drop_last=True,
+                             balanced_batches=True, build_tables=tables,
+                             build_perms=True, wire_geometry="derive")
+        batches = _stage(loader)
+        tiled, n_steps = _tile(batches, 256)
+        run = make_multistep_train_step(cfg, optimizer, "smooth_l1",
+                                        ema_decay=None)
+        t0 = time.time()
+        s1, losses = run(state, tiled)
+        _ = float(losses[-1])
+        print(f"  [{name}] compile+first: {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            s1, losses = run(state, tiled)
+            last = float(losses[-1])
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        results[name] = n_steps * bs / best
+        print(f"AB rnatables variant={name} ms_step={best/n_steps*1e3:.3f} "
+              f"g_s={results[name]:.1f} loss={last:.4f}")
+    base = max(results["ell"], results["ell_again"])
+    print(f"AB rnatables noell_vs_ell={results['noell']/base:.3f}x")
+
+
 def exp_evalpads():
     """Stacked one-dispatch evaluation (train/loop.py StackedEval) with the
     eval loaders' current plan-pinned pads vs LPT-balanced composition.
@@ -1054,7 +1116,7 @@ def main():
          "aggmix": exp_aggmix, "gathbwd": exp_gathbwd,
          "evalpads": exp_evalpads, "derive": exp_derive,
          "planpads": exp_planpads, "geo": exp_geo,
-         "pdbbind": exp_pdbbind}[w]()
+         "pdbbind": exp_pdbbind, "rnatables": exp_rnatables}[w]()
 
 
 if __name__ == "__main__":
