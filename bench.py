@@ -86,12 +86,13 @@ def bench_rna():
     batch_size = 16
     t0 = time.time()
     # No ELL tables for inference on wide-degree knn graphs (DEVNOTES.md):
-    # scatter-free pays in training backwards, not here.  ladder_pads: the
-    # 5-graph tail batch runs in its own smaller bucket (+42% measured,
-    # identical scores; tools/tpu_ab.py ladder).
+    # scatter-free pays in training backwards, not here.  Exact per-batch
+    # pads: one compile per distinct batch shape, zero geometric-bucket
+    # overshoot (+42% over one fixed bucket, +14% over the geometric
+    # ladder; identical scores — tools/tpu_ab.py ladder).
     loader = GraphLoader(mols, "rna", cfg.cutoff_l, cfg.cutoff_g,
                          batch_size=batch_size, build_tables=False,
-                         ladder_pads=True)
+                         ladder_pads="exact")
     print(f"host structure build: {time.time()-t0:.1f}s, pads={loader.pads}",
           file=sys.stderr)
     batches = [jax.tree.map(jnp.asarray, gb) for gb in loader]

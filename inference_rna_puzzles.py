@@ -109,10 +109,15 @@ def main():
         ds.molecules(), cfg.dataset_kind, cfg.cutoff_l, cfg.cutoff_g,
         batch_size=args.batch_size, shuffle=False,
         build_tables=False,  # inference: scatter-free tables don't pay here
-        # Tail/partial batches run in their own smaller padding bucket
-        # (+42% on the 21-structure set; tools/tpu_ab.py ladder).  Scores
-        # are pad-invariant (test_rna_parity goldens cover this path).
-        ladder_pads=not args.fixed_pads,
+        # Every batch runs at its own exact align-rounded pads: a fixed
+        # dataset scored once per run compiles one program per distinct
+        # batch shape and pays zero geometric-bucket overshoot (+42% over
+        # one fixed bucket, +14% over the geometric ladder on the
+        # 21-structure set; tools/tpu_ab.py ladder).  Scores are
+        # pad-invariant (test_rna_parity goldens cover this path);
+        # serve_rna.py keeps geometric buckets for compile reuse across
+        # open-ended request streams.
+        ladder_pads=False if args.fixed_pads else "exact",
     )
     fwd = jax.jit(lambda p, g: apply_pamnet(p, g, cfg))
 

@@ -87,6 +87,14 @@ class GraphBatch(NamedTuple):
     # 128 lanes (42x traffic); distances are f64-exact from the host.
     dist_g: np.ndarray | None = None
     dist_l: np.ndarray | None = None
+    # Compact-wire markers (collate_structures(compact_wire=True)): the
+    # masks + node_graph above are None and these carry the information to
+    # rebuild them inside the compiled step (hydrate_batch): ``counts`` =
+    # int32 [num_nodes, n_eg, n_el, n_t2, n_t1, num_graphs]; ``n_per`` =
+    # per-graph node counts (G,).  Index arrays may additionally arrive
+    # int16 when their padded bound fits; hydrate_batch widens them.
+    counts: np.ndarray | None = None
+    n_per: np.ndarray | None = None
 
     @property
     def num_nodes(self) -> int:
@@ -510,7 +518,8 @@ def collate_structures(structs: list[dict], pads: PadSizes | None = None,
                        build_perms: bool = False,
                        plan: "CollatePlan | None" = None,
                        idxs: "list[int] | None" = None,
-                       wire_geometry: str = "host") -> GraphBatch:
+                       wire_geometry: str = "host",
+                       compact_wire: bool = False) -> GraphBatch:
     """Assemble precomputed per-molecule structures into one padded batch by
     offsetting node ids (by node counts) and edge ids (by local-edge counts).
 
@@ -529,7 +538,14 @@ def collate_structures(structs: list[dict], pads: PadSizes | None = None,
     Cuts the streamed bytes roughly in half on top of derive-mode ELL
     tables and removes the float concat passes from host collation; costs
     a few percent of device-step time (geometry re-evaluated per step) and
-    f32 instead of host-f64 geometry (the reference's own precision)."""
+    f32 instead of host-f64 geometry (the reference's own precision).
+
+    ``compact_wire=True`` additionally (a) narrows every index array (and
+    table aux array) to int16 where its padded bound fits, and (b) ships a
+    6-entry ``counts`` vector + per-graph ``n_per`` instead of the five
+    masks and ``node_graph``.  Consumers must pass the batch through
+    :func:`hydrate_batch` inside the compiled step (apply_pamnet and every
+    train-step loss do)."""
     if wire_geometry not in ("host", "derive"):
         raise ValueError(f"wire_geometry must be 'host'|'derive', got {wire_geometry!r}")
     if plan is not None:
@@ -702,6 +718,50 @@ def collate_structures(structs: list[dict], pads: PadSizes | None = None,
         basis["dist_g"] = fields["dist_g"]
         basis["dist_l"] = fields["dist_l"]
 
+    if compact_wire:
+        # (a) narrow index/table-aux ints whose PADDED bound fits int16
+        # (a static per-shape decision: node ids < pads.n, edge ids <
+        # pads.el, table aux values <= their row dim); hydrate_batch
+        # widens them on device.
+        def narrow(a: np.ndarray, bound: int) -> np.ndarray:
+            return a.astype(np.int16) if bound < 32768 else a
+
+        bound_of = {"node": pads.n, "edge": pads.el, "zero": pads.n}
+        for key, _, okind, _ in _INT_FIELDS:
+            fields[key] = narrow(fields[key], bound_of[okind])
+        rows_of = {"eg": pads.eg, "el": pads.el, "t2": pads.t2,
+                   "t1": pads.t1, "n": pads.n}
+        for k in list(tables):
+            base = k.split("_")[0]  # eg/el/t2/t1
+            rows = rows_of.get(base, 1 << 30)
+            # offsets count rows; perms index rows; dk markers are zeros.
+            tables[k] = narrow(tables[k], rows)
+        t2 = {f"idx_{k}": fields[f"t2_{k}"] for k in ("i", "j", "k", "kj", "ji")}
+        t1 = {f"idx_{k}": fields[f"t1_{k}"] for k in ("i", "j1", "j2", "jj", "ji")}
+        eg_src_p, eg_dst_p = fields["eg_src"], fields["eg_dst"]
+        el_src_p, el_dst_p = fields["el_src"], fields["el_dst"]
+        # (b) counts + n_per instead of masks + node_graph.
+        counts = np.array([num_nodes, n_eg, n_el, n_t2, n_t1, nb], np.int32)
+        return GraphBatch(
+            tables=tables,
+            **basis,
+            z=fields["z"],
+            feat=fields["feat"],
+            pos=fields["pos"],
+            node_mask=None,
+            node_graph=None,
+            eg_src=eg_src_p, eg_dst=eg_dst_p, eg_mask=None,
+            el_src=el_src_p, el_dst=el_dst_p, el_mask=None,
+            t2_i=t2["idx_i"], t2_j=t2["idx_j"], t2_k=t2["idx_k"],
+            t2_kj=t2["idx_kj"], t2_ji=t2["idx_ji"], t2_mask=None,
+            t1_i=t1["idx_i"], t1_j1=t1["idx_j1"], t1_j2=t1["idx_j2"],
+            t1_jj=t1["idx_jj"], t1_ji=t1["idx_ji"], t1_mask=None,
+            y=_pad1(y, pads.g),
+            graph_mask=None,
+            counts=counts,
+            n_per=_pad1(n_per.astype(np.int32), pads.g),
+        )
+
     node_graph = np.repeat(np.arange(nb, dtype=np.int32), n_per)
     return GraphBatch(
         tables=tables,
@@ -732,6 +792,73 @@ def collate_structures(structs: list[dict], pads: PadSizes | None = None,
         y=_pad1(y, pads.g),
         graph_mask=_mask(nb, pads.g),
     )
+
+
+def hydrate_batch(g: GraphBatch) -> GraphBatch:
+    """Expand a compact-wire batch inside the compiled program (the mask/
+    node_graph analog of ``ops/ell.py::materialize_tables``; idempotent).
+
+    ``collate_structures(compact_wire=True)`` ships (a) index arrays
+    narrowed to int16 wherever the padded bound fits and (b) a 6-entry
+    ``counts`` vector + per-graph ``n_per`` instead of the five 0/1 masks
+    and the node->graph indicator.  This widens the ints (one fused cast)
+    and rebuilds masks as ``iota < count`` and ``node_graph`` as a
+    searchsorted over ``cumsum(n_per)`` — a few microseconds of device
+    work against ~30% of the streamed bytes.  Padded ``node_graph``
+    entries clip to the LAST graph slot (the host builder pads with 0);
+    both are masked to exact-zero contributions before every pool, so
+    model outputs are identical (test-locked).
+    """
+    import jax.numpy as jnp
+
+    upd: dict = {}
+    for f in ("z", "eg_src", "eg_dst", "el_src", "el_dst", "t2_i", "t2_j",
+              "t2_k", "t2_kj", "t2_ji", "t1_i", "t1_j1", "t1_j2", "t1_jj",
+              "t1_ji", "node_graph"):
+        v = getattr(g, f)
+        if v is not None and v.dtype == jnp.int16:
+            upd[f] = v.astype(jnp.int32)
+    if g.tables:
+        widened = {
+            k: (v.astype(jnp.int32) if v.dtype == jnp.int16 else v)
+            for k, v in g.tables.items()
+        }
+        if any(w is not v for w, v in zip(widened.values(),
+                                          g.tables.values())):
+            upd["tables"] = widened
+    if g.counts is not None:
+        c = g.counts.astype(jnp.int32)
+
+        def mask(size: int, k: int):
+            return (jnp.arange(size) < c[k]).astype(jnp.float32)
+
+        n_pad = g.z.shape[0]
+        g_pad = g.y.shape[0]
+        cum = jnp.cumsum(g.n_per.astype(jnp.int32))
+        node_graph = jnp.clip(
+            jnp.searchsorted(cum, jnp.arange(n_pad), side="right"),
+            0, g_pad - 1,
+        ).astype(jnp.int32)
+        upd.update(
+            node_mask=mask(n_pad, 0),
+            eg_mask=mask(g.eg_src.shape[0], 1),
+            el_mask=mask(g.el_src.shape[0], 2),
+            t2_mask=mask(g.t2_ji.shape[0], 3),
+            t1_mask=mask(g.t1_ji.shape[0], 4),
+            graph_mask=mask(g_pad, 5),
+            node_graph=node_graph,
+            counts=None,
+            n_per=None,
+        )
+    return g._replace(**upd) if upd else g
+
+
+def valid_graphs_np(gb: GraphBatch) -> float:
+    """Host-side valid-graph count for loss accounting: works for full and
+    compact-wire batches (whose graph_mask is None until hydration)."""
+    if gb.graph_mask is not None:
+        return float(np.asarray(gb.graph_mask).sum())
+    return float(np.asarray(gb.counts)[5])
 
 
 def build_graph_batch(

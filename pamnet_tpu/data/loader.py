@@ -94,6 +94,7 @@ class GraphLoader:
         build_tables: "bool | str" = True,
         build_perms: bool | None = None,
         wire_geometry: str = "host",
+        compact_wire: bool = False,
         precompute_basis: bool = True,
         num_spherical: int = 7,
         num_radial: int = 6,
@@ -118,6 +119,10 @@ class GraphLoader:
         self.wire_geometry = wire_geometry
         if wire_geometry == "derive":
             precompute_basis = False
+        # compact_wire: int16 indices where bounds fit + counts instead of
+        # masks/node_graph; consumers hydrate inside the compiled step
+        # (collate_structures docstring).
+        self.compact_wire = compact_wire
         # Gather-backward scan-routing aux arrays (collate build_perms):
         # only training steps differentiate through gathers, so default to
         # following build_tables (training loaders build both; inference/
@@ -373,6 +378,7 @@ class GraphLoader:
                     None, pads, build_tables=self.build_tables,
                     build_perms=self.build_perms, plan=plan, idxs=idxs,
                     wire_geometry=self.wire_geometry,
+                    compact_wire=self.compact_wire,
                 )
             else:
                 yield collate_structures(
@@ -380,6 +386,7 @@ class GraphLoader:
                     build_tables=self.build_tables,
                     build_perms=self.build_perms,
                     wire_geometry=self.wire_geometry,
+                    compact_wire=self.compact_wire,
                 )
 
     def prefetch(self, depth: int = 2):

@@ -115,6 +115,11 @@ def _fold_gate(cfg: PAMNetConfig, tables) -> bool:
 
 def apply_pamnet(params: dict, g: GraphBatch, cfg: PAMNetConfig) -> jax.Array:
     """Forward pass -> (G,) per-graph predictions (padded graphs give 0)."""
+    from pamnet_tpu.data.batch import hydrate_batch
+
+    # Compact-wire batches (int16 indices, counts instead of masks) expand
+    # here, inside the compiled program; full batches pass through.
+    g = hydrate_batch(g)
     kind = cfg.dataset_kind
     num_nodes = g.z.shape[0]
     if cfg.device_graph:

@@ -22,7 +22,7 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from pamnet_tpu.config import PAMNetConfig
-from pamnet_tpu.data.batch import GraphBatch
+from pamnet_tpu.data.batch import GraphBatch, hydrate_batch, valid_graphs_np
 from pamnet_tpu.models import apply_pamnet
 from pamnet_tpu.train.ema import ema_init, ema_update
 
@@ -78,6 +78,7 @@ def _make_step_body(cfg: PAMNetConfig, optimizer, loss_kind: str,
     """Shared un-jitted step body: (state, batch) -> (state, loss)."""
 
     def loss_fn(params, batch: GraphBatch):
+        batch = hydrate_batch(batch)  # compact-wire: masks from counts
         pred = apply_pamnet(params, batch, cfg)
         total, count = _loss_terms(pred, batch.y, batch.graph_mask, loss_kind)
         return total / jnp.maximum(count, 1.0)
@@ -171,6 +172,7 @@ def make_dp_device_data_epoch(cfg: PAMNetConfig, optimizer, loss_kind: str,
     data parallelism."""
 
     def local_loss(params, batch: GraphBatch):
+        batch = hydrate_batch(batch)  # compact-wire: masks from counts
         pred = apply_pamnet(params, batch, cfg)
         total, count = _loss_terms(pred, batch.y, batch.graph_mask, loss_kind)
         global_count = jax.lax.psum(count, axis)
@@ -226,8 +228,7 @@ class DeviceDataTrainer:
             # EpochRunner's trailing-partial handling under DP).
             batches = batches[: len(batches) - (len(batches) % self.dp)]
         self.counts = np.array(
-            [float(np.asarray(b.graph_mask).sum()) for b in batches],
-            np.float64,
+            [valid_graphs_np(b) for b in batches], np.float64,
         )
         stacked = stack_microbatches_host(batches)
         if self.dp > 1:
@@ -532,6 +533,7 @@ def make_dp_train_step(cfg: PAMNetConfig, optimizer, loss_kind: str, mesh: Mesh,
     are psum-reduced over ICI; params/optimizer state replicated."""
 
     def local_loss(params, batch: GraphBatch):
+        batch = hydrate_batch(batch)  # compact-wire: masks from counts
         pred = apply_pamnet(params, batch, cfg)
         total, count = _loss_terms(pred, batch.y, batch.graph_mask, loss_kind)
         global_count = jax.lax.psum(count, axis)
@@ -570,6 +572,7 @@ def make_dp_multistep_train_step(cfg: PAMNetConfig, optimizer, loss_kind: str,
     executes S synchronized DP steps (psum-reduced grads each step)."""
 
     def local_loss(params, batch: GraphBatch):
+        batch = hydrate_batch(batch)  # compact-wire: masks from counts
         pred = apply_pamnet(params, batch, cfg)
         total, count = _loss_terms(pred, batch.y, batch.graph_mask, loss_kind)
         global_count = jax.lax.psum(count, axis)
@@ -688,7 +691,7 @@ class EpochRunner:
         import numpy as np
 
         def count(gb):
-            return float(np.asarray(gb.graph_mask).sum())
+            return valid_graphs_np(gb)
 
         def stack_host(group):
             return to_device(

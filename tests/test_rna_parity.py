@@ -121,17 +121,18 @@ def test_rna_scores_match_f64_oracle_all_21(rna_dataset):
 
 def test_production_inference_path_matches_golden(rna_dataset):
     """The DEFAULT driver scoring path — GraphLoader with precomputed f64
-    basis, no ELL tables, per-batch ladder pads, batch 16, fold_sbf +
+    basis, no ELL tables, per-batch EXACT pads, batch 16, fold_sbf +
     fuse_sbf_gather auto-on — must match the golden oracle vector.  This is
     the configuration inference_rna_puzzles.py actually runs, distinct from
     the per-molecule build_graph_batch path above (which has no sbf_radial
-    and therefore never takes the folded/fused/laddered code)."""
+    and therefore never takes the folded/fused code)."""
     from pamnet_tpu.data.loader import GraphLoader
 
     params = load_torch_checkpoint(CKPT)
     mols = rna_dataset.molecules()
     loader = GraphLoader(mols, "rna", CFG.cutoff_l, CFG.cutoff_g,
-                         batch_size=16, build_tables=False, ladder_pads=True)
+                         batch_size=16, build_tables=False,
+                         ladder_pads="exact")
     fwd = jax.jit(apply_pamnet, static_argnums=2)
     scores = []
     for gb in loader:

@@ -967,6 +967,86 @@ def exp_pdbbind():
           f"hosttab_vs_ell={results['hosttab']/base:.3f}x")
 
 
+def exp_wiremin():
+    """Compact wire (int16 indices + counts instead of masks/node_graph,
+    hydrated in the compiled step) vs the full derive-geometry wire, on top
+    of derive tables + derive geometry: scan-step cost + production
+    streaming epoch-wall gain.  Expected ~2.4x fewer wired bytes; math is
+    BIT-identical (tests/test_compact_wire.py)."""
+    import numpy as np
+
+    cfg = PAMNetConfig(dataset="QM9", dim=128, n_layer=6, cutoff_l=5.0,
+                       cutoff_g=5.0, compute_dtype="bfloat16")
+    bs = 32
+    mols = synthetic_qm9_dataset(16 * bs, seed=480)
+    params = init_pamnet(jax.random.PRNGKey(480), cfg)
+    optimizer = make_optimizer(warmup_exponential(1e-4, steps_per_epoch=64),
+                               clip_norm=1000.0)
+    state = init_train_state(params, optimizer, use_ema=True)
+
+    results = {}
+    for name, compact in [("full", False), ("compact", True),
+                          ("full_again", False)]:
+        loader = GraphLoader(mols, "qm9", cfg.cutoff_l, cfg.cutoff_g,
+                             batch_size=bs, shuffle=False, drop_last=True,
+                             balanced_batches=True, build_tables="derive",
+                             build_perms=True, wire_geometry="derive",
+                             compact_wire=compact)
+        batches = _stage(loader)
+        staged_mb = sum(
+            l.nbytes for l in jax.tree.leaves(batches[0])) / 1e6
+        print(f"  [{name}] wire={staged_mb:.3f} MB/batch", file=sys.stderr)
+        tiled, n_steps = _tile(batches, 512)
+        results[name] = _run_scan("wiremin", name, cfg, state, tiled,
+                                  n_steps, bs)
+    base = max(results["full"], results["full_again"])
+    print(f"AB wiremin step_vs_full={results['compact']/base:.3f}x")
+
+    from pamnet_tpu.train.loop import (
+        EpochRunner,
+        StackedEval,
+        init_train_state as _init,
+        make_multistep_eval,
+    )
+    from pamnet_tpu.utils.wirepack import stage as to_device
+
+    wmols = synthetic_qm9_dataset(4096 + 512, seed=481)
+    wall = {}
+    for name, compact in [("full", False), ("compact", True),
+                          ("full_again", False)]:
+        train_loader = GraphLoader(wmols[:4096], "qm9", cfg.cutoff_l,
+                                   cfg.cutoff_g, batch_size=bs, shuffle=True,
+                                   seed=480, drop_last=True,
+                                   balanced_batches=True,
+                                   build_tables="derive", build_perms=True,
+                                   wire_geometry="derive",
+                                   compact_wire=compact)
+        val_loader = GraphLoader(wmols[4096:], "qm9", cfg.cutoff_l,
+                                 cfg.cutoff_g, batch_size=bs,
+                                 balanced_batches=True, build_perms=False)
+        st = _init(params, optimizer, use_ema=True)
+        runner = EpochRunner(cfg, optimizer, "l1", ema_decay=0.999,
+                             scan_steps=16)
+        ev = StackedEval(make_multistep_eval(cfg), val_loader, to_device)
+        t0 = time.time()
+        st, _, ng, _ = runner.run(st, train_loader.prefetch(), to_device)
+        mae = float(np.abs(ev.predict(st.ema) - ev.y).mean())
+        print(f"  [{name}] compile epoch: {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            st, _, ng, _ = runner.run(st, train_loader.prefetch(), to_device)
+            mae = float(np.abs(ev.predict(st.ema) - ev.y).mean())
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        wall[name] = ng / best
+        print(f"AB wiremwall variant={name} mol_s={wall[name]:.1f} "
+              f"mae={mae:.4f}")
+    base = max(wall["full"], wall["full_again"])
+    print(f"AB wiremwall wall_vs_full={wall['compact']/base:.3f}x")
+
+
 def exp_rnatables():
     """RNA TRAINING at the reference recipe (dim=16 L=1 b=8, SmoothL1,
     main_rna_puzzles.py:45-58) over synthetic candidate structures:
@@ -1116,7 +1196,8 @@ def main():
          "aggmix": exp_aggmix, "gathbwd": exp_gathbwd,
          "evalpads": exp_evalpads, "derive": exp_derive,
          "planpads": exp_planpads, "geo": exp_geo,
-         "pdbbind": exp_pdbbind, "rnatables": exp_rnatables}[w]()
+         "pdbbind": exp_pdbbind, "rnatables": exp_rnatables,
+         "wiremin": exp_wiremin}[w]()
 
 
 if __name__ == "__main__":
