@@ -173,11 +173,17 @@ def bench_epoch():
     # geo).  PAMNET_BENCH_GEOMETRY=host restores wired float geometry.
     geometry = (os.environ.get("PAMNET_BENCH_GEOMETRY", "derive")
                 if tables == "derive" else "host")
+    # compact_wire: int16 indices + counts instead of masks, hydrated
+    # bit-identically on device (+19% epoch wall, wire 0.387 -> 0.160
+    # MB/batch; tools/tpu_ab.py wiremin).  PAMNET_BENCH_WIRE=full opts out.
+    compact = (geometry == "derive"
+               and os.environ.get("PAMNET_BENCH_WIRE") != "full")
     train_loader = GraphLoader(mols[:n_train], "qm9", cfg.cutoff_l,
                                cfg.cutoff_g, batch_size=batch_size,
                                shuffle=True, seed=480, drop_last=True,
                                balanced_batches=True, build_tables=tables,
-                               build_perms=True, wire_geometry=geometry)
+                               build_perms=True, wire_geometry=geometry,
+                               compact_wire=compact)
     # Mirrors the drivers: eval loaders skip the gather-backward aux arrays
     # (no backward to route).
     val_loader = GraphLoader(mols[n_train:], "qm9", cfg.cutoff_l, cfg.cutoff_g,
@@ -264,7 +270,8 @@ def bench_pdbbind():
     loader = GraphLoader(mols, "pdbbind", cfg.cutoff_l, cfg.cutoff_g,
                          batch_size=batch_size, shuffle=False, drop_last=True,
                          balanced_batches=True, build_tables=tables,
-                         build_perms=True, wire_geometry="derive")
+                         build_perms=True, wire_geometry="derive",
+                         compact_wire=True)
     print(f"pdbbind: structure build {time.time()-t0:.1f}s, "
           f"pads={loader.pads}", file=sys.stderr)
     batches = [jax.tree.map(lambda x: jax.device_put(jnp.asarray(x)), gb)

@@ -252,11 +252,17 @@ def main():
     # tpu_ab.py geo).  --device_data stages once, so it keeps host geometry.
     train_geometry = ("host" if (args.device_data or args.host_geometry)
                       else "derive")
+    # Derive-wire batches also ship COMPACT: int16 indices + counts instead
+    # of masks/node_graph, hydrated bit-identically inside the compiled
+    # step (+19%% streaming epoch wall, wire 0.387 -> 0.160 MB/batch;
+    # tools/tpu_ab.py wiremin).  --host_geometry restores the full wire.
+    compact = train_geometry == "derive"
     t_load = time.time()
     train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
                                shuffle=True, seed=args.seed, drop_last=True,
                                balanced_batches=args.balanced_batches,
                                build_perms=True, wire_geometry=train_geometry,
+                               compact_wire=compact,
                                **{**common, "build_tables": train_tables})
     # Eval composition is free — labels ride inside the batches and the
     # metric is a global mean over molecules — so the eval splits ALWAYS use

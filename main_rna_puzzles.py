@@ -149,11 +149,17 @@ def main():
     train_tables = bool(args.host_tables)
     train_geometry = ("host" if (args.device_data or args.host_geometry)
                       else "derive")
+    # Derive-wire batches also ship COMPACT: int16 indices + counts instead
+    # of masks/node_graph, hydrated bit-identically inside the compiled
+    # step (+19%% streaming epoch wall, wire 0.387 -> 0.160 MB/batch;
+    # tools/tpu_ab.py wiremin).  --host_geometry restores the full wire.
+    compact = train_geometry == "derive"
     train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
                                build_perms=True,
                                shuffle=True, seed=args.seed,
                                balanced_batches=args.balanced_batches,
                                wire_geometry=train_geometry,
+                               compact_wire=compact,
                                **{**common, "build_tables": train_tables})
     # Eval composition is free (the SmoothL1 val loss is a global mean over
     # structures), so the val split always uses LPT-balanced packing —

@@ -473,9 +473,17 @@ class StackedEval:
         if self.dp > 1 and len(batches) % self.dp:
             # Pad with zero-mask dummies (their predictions are masked out;
             # graph_mask=0 also keeps self.mask/self.y aligned below).
-            dummy = batches[-1]._replace(
-                graph_mask=np.zeros_like(np.asarray(batches[-1].graph_mask))
-            )
+            # Compact-wire batches carry counts instead of a mask: zero the
+            # valid-graph count (hydrate_batch derives an all-zero mask).
+            last = batches[-1]
+            if last.graph_mask is not None:
+                dummy = last._replace(
+                    graph_mask=np.zeros_like(np.asarray(last.graph_mask))
+                )
+            else:
+                c = np.asarray(last.counts).copy()
+                c[5] = 0
+                dummy = last._replace(counts=c)
             batches = batches + [dummy] * (-len(batches) % self.dp)
         t1 = time.time()
         stacked = stack_microbatches_host(batches)
@@ -514,9 +522,13 @@ class StackedEval:
                 f"transfer {t3 - t2:.1f}s)",
                 file=sys.stderr,
             )
-        self.mask = (
-            np.concatenate([np.asarray(b.graph_mask) for b in batches]) > 0
-        )
+        def host_mask(b):
+            if b.graph_mask is not None:
+                return np.asarray(b.graph_mask)
+            c = np.asarray(b.counts)  # compact wire: derive from counts
+            return (np.arange(b.y.shape[0]) < c[5]).astype(np.float32)
+
+        self.mask = np.concatenate([host_mask(b) for b in batches]) > 0
         self.y = np.concatenate([np.asarray(b.y) for b in batches])[self.mask]
         self.run = eval_run
 

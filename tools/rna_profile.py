@@ -41,9 +41,10 @@ def main():
     params = load_torch_checkpoint(ckpt)
     mols = TUDataset(data_root, "rna_native").molecules()
     # Production inference configuration (bench.py / inference driver):
-    # sorted offsets only + per-batch ladder buckets.
+    # sorted offsets only + per-batch EXACT pads (round 5).
     loader = GraphLoader(mols, "rna", cfg.cutoff_l, cfg.cutoff_g,
-                         batch_size=16, build_tables=False, ladder_pads=True)
+                         batch_size=16, build_tables=False,
+                         ladder_pads="exact")
     print(f"pads: {loader.pads}", file=sys.stderr)
     batches = [jax.tree.map(jnp.asarray, gb) for gb in loader]
 
