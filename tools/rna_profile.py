@@ -86,6 +86,10 @@ def main():
         pname = names.get(e["pid"], "")
         if "TPU" not in pname and "/device" not in pname.lower():
             continue
+        # Whole-module spans (jit_<fn>(fingerprint)) cover their own leaf
+        # ops on another lane — keep the aggregation leaf-only.
+        if e["name"].startswith("jit_"):
+            continue
         d = float(e.get("dur", 0.0))
         agg[e["name"]] = agg.get(e["name"], 0.0) + d
         total += d
