@@ -691,10 +691,15 @@ class EpochRunner:
         """Optimizer steps per epoch divide by this under data parallelism."""
         return self.dp if self.dp > 1 else 1
 
-    def run(self, state: TrainState, batches, to_device):
+    def run(self, state: TrainState, batches, to_device, *,
+            defer_fetch: bool = True):
         """Consume an iterable of host batches; returns
         ``(state, loss_sum, n_graphs, n_dispatches)`` where ``loss_sum`` is
         the num-graphs-weighted sum of per-step mean losses.
+
+        ``defer_fetch=False`` restores a synchronous loss fetch after every
+        dispatch (A/B control; the deferred default is bit-identical and
+        saves one tunnel round trip per dispatch).
 
         Groups are stacked on the HOST (np.stack) and transferred once —
         stacking device-resident microbatches issues one jnp.stack dispatch
@@ -716,7 +721,18 @@ class EpochRunner:
         # transfer-bound links the dispatch thread otherwise serializes
         # ~MBs/step of host->device traffic with execution (DEVNOTES.md
         # 110k-scale findings).
-        loss_sum, ng, nb = 0.0, 0.0, 0
+        #
+        # Loss fetches are DEFERRED: each dispatch's loss stays a device
+        # array in `pending`, fetched once at epoch end (one device_get =
+        # one tunnel round trip).  A synchronous float(loss) per block pays
+        # this pool's ~90 ms host<->device RTT *per dispatch*, which rivals
+        # the 16-step block's own compute — dispatches now enqueue
+        # asynchronously and the epoch syncs once.  Accounting replays in
+        # dispatch order with the same float arithmetic, so loss_sum is
+        # bit-identical to the per-block fetch.
+        pending: list = []  # (kind, device_losses, counts)
+        sync = (lambda x: jax.device_get(x)) if not defer_fetch else (lambda x: x)
+        nb = 0
         if self.dp > 1:
             def gen():
                 group, gcount = [], 0.0
@@ -734,7 +750,7 @@ class EpochRunner:
                     state, loss = self.step_fn(state, dev)
                 else:
                     state, loss = self._single(state, dev)
-                loss_sum += float(loss) * c; ng += c; nb += 1
+                pending.append(("one", sync(loss), c)); nb += 1
         elif self.scan_steps > 1:
             def gen():
                 group, counts = [], []
@@ -750,11 +766,10 @@ class EpochRunner:
             for kind, dev, c in _staged(gen(), stack_host, to_device):
                 if kind == "block":
                     state, losses = self.step_fn(state, dev)
-                    loss_sum += float(np.asarray(losses) @ np.asarray(c))
-                    ng += sum(c); nb += len(c)
+                    pending.append(("block", sync(losses), c)); nb += len(c)
                 else:
                     state, loss = self._single(state, dev)
-                    loss_sum += float(loss) * c; ng += c; nb += 1
+                    pending.append(("one", sync(loss), c)); nb += 1
         else:
             def gen():
                 for gb in batches:
@@ -762,5 +777,16 @@ class EpochRunner:
 
             for _, dev, c in _staged(gen(), stack_host, to_device):
                 state, loss = self.step_fn(state, dev)
-                loss_sum += float(loss) * c; ng += c; nb += 1
+                pending.append(("one", sync(loss), c)); nb += 1
+        # One batched fetch for every dispatch's loss (async copies under a
+        # single device_get), then replay the accounting in dispatch order.
+        fetched = jax.device_get([p[1] for p in pending])
+        loss_sum, ng = 0.0, 0.0
+        for (kind, _, c), host in zip(pending, fetched):
+            if kind == "block":
+                loss_sum += float(np.asarray(host) @ np.asarray(c))
+                ng += sum(c)
+            else:
+                loss_sum += float(host) * c
+                ng += c
         return state, loss_sum, ng, nb

@@ -325,3 +325,31 @@ def test_epoch_runner_trailing_group_matches_sequential(rng, mode):
         # DP groups average two batches per step (different but equally
         # valid accounting); just require the run to have stepped sanely.
         assert nb == 3 and np.isfinite(loss_sum)
+
+
+@pytest.mark.parametrize("mode", [{}, {"dp": 2}, {"scan_steps": 2}])
+def test_epoch_runner_deferred_fetch_bit_identical(rng, mode):
+    """The deferred epoch-end loss fetch (one device_get per epoch, the
+    default — saves one tunnel RTT per dispatch on the remote-TPU pool)
+    must reproduce the synchronous per-dispatch fetch EXACTLY: same replay
+    order, same float arithmetic."""
+    import optax
+
+    from pamnet_tpu.train.loop import EpochRunner
+
+    batches = [_batch(rng, n_mols=2) for _ in range(5)]
+    params = init_pamnet(jax.random.PRNGKey(3), CFG)
+    opt = optax.sgd(0.05)
+    to_dev = lambda gb: jax.tree.map(jnp.asarray, gb)  # noqa: E731
+
+    results = []
+    for defer in (True, False):
+        runner = EpochRunner(CFG, opt, "l1", ema_decay=None, **mode)
+        state, loss_sum, ng, nb = runner.run(
+            init_train_state(params, opt, use_ema=False), iter(batches),
+            to_dev, defer_fetch=defer)
+        results.append((state, loss_sum, ng, nb))
+    (st_a, ls_a, ng_a, nb_a), (st_b, ls_b, ng_b, nb_b) = results
+    assert ls_a == ls_b and ng_a == ng_b and nb_a == nb_b
+    for a, b in zip(jax.tree.leaves(st_a.params), jax.tree.leaves(st_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
