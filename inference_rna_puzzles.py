@@ -121,12 +121,17 @@ def main():
     )
     fwd = jax.jit(lambda p, g: apply_pamnet(p, g, cfg))
 
-    y_hat = []
+    # Dispatches enqueue asynchronously; ONE device_get at the end fetches
+    # every batch's scores (a synchronous np.asarray per batch pays one
+    # host<->device round trip per dispatch — the same per-dispatch-sync
+    # cost the training EpochRunner defers; DEVNOTES.md lossfetch entry).
+    pending = []
     for gb in loader.prefetch():
         out = fwd(params, jax.tree.map(jnp.asarray, gb))
-        nb = int(gb.graph_mask.sum())
-        y_hat.append(np.asarray(out)[:nb])
-    y_hat = np.concatenate(y_hat)
+        pending.append((out, int(gb.graph_mask.sum())))
+    fetched = jax.device_get([p[0] for p in pending])
+    y_hat = np.concatenate([np.asarray(out)[:nb]
+                            for out, (_, nb) in zip(fetched, pending)])
 
     # CSV contract (reference: inference_rna_puzzles.py:70-80): tag strips the
     # trailing 4 chars (".pdb"); puzzle_number strips the "rna_<x>_" prefix.
