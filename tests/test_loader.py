@@ -318,3 +318,63 @@ def test_build_perms_follows_build_tables(rng):
         gb = next(iter(ld))
         got = perm_keys & set(gb.tables)
         assert (got == perm_keys) == expect and (got or not expect), (bt, bp)
+
+
+def test_cache_collate_bit_identical_and_hit(rng):
+    """cache_collate: epoch 2 yields the SAME (cached) objects and their
+    arrays are bit-identical to an uncached loader's — collation is a pure
+    function of the frozen batch composition."""
+    mols = _mols(rng, 12)
+    kw = dict(batch_size=4, align=8, balanced_batches=True, shuffle=True,
+              seed=3, compact_wire=True, wire_geometry="derive",
+              build_tables="derive")
+    cached = GraphLoader(mols, "qm9", 5.0, 5.0, cache_collate=True, **kw)
+    plain = GraphLoader(mols, "qm9", 5.0, 5.0, **kw)
+    e1 = {tuple(np.asarray(gb.y).tolist()): gb for gb in cached}
+    assert len(cached._collate_cache) == 3
+    # Epoch 2: every yield is an identity hit on the epoch-1 object.
+    for gb in cached:
+        assert gb is e1[tuple(np.asarray(gb.y).tolist())]
+    ref = {tuple(np.asarray(gb.y).tolist()): gb for gb in plain}
+    assert set(ref) == set(e1)
+    for k, gb in e1.items():
+        for a, b in zip(gb, ref[k]):
+            if isinstance(a, np.ndarray):
+                np.testing.assert_array_equal(a, b)
+            elif isinstance(a, dict):
+                assert set(a) == set(b)
+                for t in a:
+                    np.testing.assert_array_equal(a[t], b[t])
+
+
+def test_cache_collate_requires_frozen_composition(rng):
+    import pytest
+
+    with pytest.raises(ValueError, match="frozen batch composition"):
+        GraphLoader(_mols(rng, 8), "qm9", 5.0, 5.0, batch_size=4, align=8,
+                    shuffle=True, cache_collate=True)
+    # shuffle=False streaming chunks are frozen too — allowed.
+    ld = GraphLoader(_mols(rng, 8), "qm9", 5.0, 5.0, batch_size=4, align=8,
+                     cache_collate=True)
+    list(ld)
+    assert len(ld._collate_cache) == 2
+
+
+def test_cache_collate_budget_partial(rng):
+    """A tiny cache_collate_max_mb stops inserts past the budget (warns
+    once) while iteration output stays identical."""
+    import warnings
+
+    mols = _mols(rng, 12)
+    ld = GraphLoader(mols, "qm9", 5.0, 5.0, batch_size=4, align=8,
+                     balanced_batches=True, cache_collate=True,
+                     cache_collate_max_mb=1e-5)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        e1 = list(ld)
+        e2 = list(ld)
+    assert any("budget reached" in str(x.message) for x in w)
+    assert len(ld._collate_cache) < 3
+    for a, b in zip(e1, e2):
+        np.testing.assert_array_equal(a.z, b.z)
+        np.testing.assert_array_equal(a.y, b.y)

@@ -43,6 +43,8 @@ Experiments (select with argv[1:], default: dtype):
           host-wired tables (wide-degree radius-6 graphs).
   rnatables RNA training at the reference recipe: derive-mode ELL tables
           vs sorted-scan/perm routing (knn-50 wide degrees).
+  colcache  cross-epoch collation cache (GraphLoader cache_collate) vs
+          per-epoch re-collation at the shipped streaming config.
 
 Each experiment prints one `AB <name> variant=... mol_s=...` line per variant.
 """
@@ -1113,6 +1115,66 @@ def exp_lossfetch():
     print(f"AB lossfetch defer_vs_sync={wall['defer']/base:.3f}x")
 
 
+def exp_colcache():
+    """Cross-epoch collation cache (GraphLoader cache_collate) vs per-epoch
+    re-collation, at the shipped production streaming config (derive tables
+    + derive geometry + compact wire, balanced plan, deferred fetch,
+    scan_steps=16).  With a frozen plan the collated wire is a pure function
+    of each batch's molecule set, so epochs 2+ can skip host collation
+    entirely — on this host's ONE core that work competes with the staging
+    thread even under prefetch."""
+    import numpy as np
+
+    from pamnet_tpu.train.loop import (
+        EpochRunner,
+        StackedEval,
+        init_train_state as _init,
+        make_multistep_eval,
+    )
+    from pamnet_tpu.utils.wirepack import stage as to_device
+
+    cfg = PAMNetConfig(dataset="QM9", dim=128, n_layer=6, cutoff_l=5.0,
+                       cutoff_g=5.0, compute_dtype="bfloat16")
+    bs = 32
+    params = init_pamnet(jax.random.PRNGKey(480), cfg)
+    optimizer = make_optimizer(warmup_exponential(1e-4, steps_per_epoch=64),
+                               clip_norm=1000.0)
+    wmols = synthetic_qm9_dataset(4096 + 512, seed=481)
+    kw = dict(batch_size=bs, shuffle=True, seed=480, drop_last=True,
+              balanced_batches=True, build_tables="derive",
+              build_perms=True, wire_geometry="derive", compact_wire=True)
+    val_loader = GraphLoader(wmols[4096:], "qm9", cfg.cutoff_l, cfg.cutoff_g,
+                             batch_size=bs, balanced_batches=True,
+                             build_perms=False)
+    wall = {}
+    for name, cache in [("plain", False), ("cache", True),
+                        ("plain_again", False)]:
+        train_loader = GraphLoader(wmols[:4096], "qm9", cfg.cutoff_l,
+                                   cfg.cutoff_g, cache_collate=cache, **kw)
+        st = _init(params, optimizer, use_ema=True)
+        runner = EpochRunner(cfg, optimizer, "l1", ema_decay=0.999,
+                             scan_steps=16)
+        ev = StackedEval(make_multistep_eval(cfg), val_loader, to_device)
+        t0 = time.time()
+        st, ls, ng, _ = runner.run(st, train_loader.prefetch(), to_device)
+        mae = float(np.abs(ev.predict(st.ema) - ev.y).mean())
+        print(f"  [{name}] compile epoch: {time.time()-t0:.1f}s "
+              f"(cache {train_loader._collate_cache_bytes/1e6:.1f} MB)",
+              file=sys.stderr)
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            st, ls, ng, _ = runner.run(st, train_loader.prefetch(), to_device)
+            mae = float(np.abs(ev.predict(st.ema) - ev.y).mean())
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        wall[name] = ng / best
+        print(f"AB colcache variant={name} mol_s={wall[name]:.1f} "
+              f"loss_sum={ls:.6f} mae={mae:.4f}")
+    base = max(wall["plain"], wall["plain_again"])
+    print(f"AB colcache cache_vs_plain={wall['cache']/base:.3f}x")
+
+
 def exp_rnatables():
     """RNA TRAINING at the reference recipe (dim=16 L=1 b=8, SmoothL1,
     main_rna_puzzles.py:45-58) over synthetic candidate structures:
@@ -1263,7 +1325,8 @@ def main():
          "evalpads": exp_evalpads, "derive": exp_derive,
          "planpads": exp_planpads, "geo": exp_geo,
          "pdbbind": exp_pdbbind, "rnatables": exp_rnatables,
-         "wiremin": exp_wiremin, "lossfetch": exp_lossfetch}[w]()
+         "wiremin": exp_wiremin, "lossfetch": exp_lossfetch,
+         "colcache": exp_colcache}[w]()
 
 
 if __name__ == "__main__":
