@@ -178,12 +178,19 @@ def bench_epoch():
     # MB/batch; tools/tpu_ab.py wiremin).  PAMNET_BENCH_WIRE=full opts out.
     compact = (geometry == "derive"
                and os.environ.get("PAMNET_BENCH_WIRE") != "full")
+    # cache_collate: with the frozen balanced plan the collated wire per
+    # batch is a pure function of its molecule set, so epochs 2+ skip host
+    # collation entirely (+27.6% epoch wall same-process, bit-identical
+    # arrays; tools/tpu_ab.py colcache).  The compile epoch below populates
+    # the cache, mirroring a real multi-epoch --balanced_batches run.
+    # PAMNET_BENCH_COLCACHE=off opts out.
+    colcache = os.environ.get("PAMNET_BENCH_COLCACHE") != "off"
     train_loader = GraphLoader(mols[:n_train], "qm9", cfg.cutoff_l,
                                cfg.cutoff_g, batch_size=batch_size,
                                shuffle=True, seed=480, drop_last=True,
                                balanced_batches=True, build_tables=tables,
                                build_perms=True, wire_geometry=geometry,
-                               compact_wire=compact)
+                               compact_wire=compact, cache_collate=colcache)
     # Mirrors the drivers: eval loaders skip the gather-backward aux arrays
     # (no backward to route).
     val_loader = GraphLoader(mols[n_train:], "qm9", cfg.cutoff_l, cfg.cutoff_g,

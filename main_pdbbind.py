@@ -68,6 +68,12 @@ def main():
                         help='Freeze batch composition via size packing and '
                              'pin pads to the plan maxima (epochs reshuffle '
                              'batch order only; see main_qm9.py)')
+    parser.add_argument('--no_cache_collate', action='store_true',
+                        help='Disable the cross-epoch collation cache used '
+                             'by --balanced_batches streaming runs '
+                             '(bit-identical arrays; see main_qm9.py)')
+    parser.add_argument('--cache_collate_mb', type=float, default=4096.0,
+                        help='Collation-cache budget in MB')
     parser.add_argument('--device_data', action='store_true',
                         help='Stage the whole padded train split in device '
                              'HBM once; each epoch is one dispatch (batch '
@@ -159,12 +165,18 @@ def main():
     # step (+19%% streaming epoch wall, wire 0.387 -> 0.160 MB/batch;
     # tools/tpu_ab.py wiremin).  --host_geometry restores the full wire.
     compact = train_geometry == "derive"
+    # Cross-epoch collation cache for frozen-plan streaming runs (+27.6%
+    # QM9 epoch wall same-process, bit-identical; tools/tpu_ab.py colcache).
+    cache_collate = (args.balanced_batches and not args.device_data
+                     and not args.no_cache_collate)
     train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
                                shuffle=True, seed=args.seed,
                                balanced_batches=args.balanced_batches,
                                wire_geometry=train_geometry,
                                compact_wire=compact,
                                build_perms=True,
+                               cache_collate=cache_collate,
+                               cache_collate_max_mb=args.cache_collate_mb,
                                **{**common, "build_tables": train_tables})
     # Eval composition is free (labels ride in the batches; metrics are
     # global reductions), so eval splits always use LPT-balanced packing —

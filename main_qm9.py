@@ -165,6 +165,17 @@ def main():
                              'reshuffle batch ORDER only — the same '
                              'composition-vs-reference divergence as '
                              '--device_data (which it composes with)')
+    parser.add_argument('--no_cache_collate', action='store_true',
+                        help='Disable the cross-epoch collation cache that '
+                             '--balanced_batches streaming runs use by '
+                             'default (+28%% epoch wall: with a frozen plan '
+                             'the collated wire per batch is a pure function '
+                             'of its molecule set, so epochs 2+ skip host '
+                             'collation; bit-identical arrays, tools/'
+                             'tpu_ab.py colcache)')
+    parser.add_argument('--cache_collate_mb', type=float, default=4096.0,
+                        help='Collation-cache budget in MB (batches past the '
+                             'budget keep collating per epoch)')
     parser.add_argument('--structure_cache', type=str, default='',
                         help='Directory for the on-disk precomputed-structure '
                              'cache (content-addressed, resumable; '
@@ -257,12 +268,21 @@ def main():
     # step (+19%% streaming epoch wall, wire 0.387 -> 0.160 MB/batch;
     # tools/tpu_ab.py wiremin).  --host_geometry restores the full wire.
     compact = train_geometry == "derive"
+    # Frozen-plan streaming epochs re-collate identical batches every epoch;
+    # the cross-epoch cache yields the same arrays instead (+27.6% epoch
+    # wall same-process, loss bit-equal; tools/tpu_ab.py colcache).  Only
+    # valid when composition is frozen (--balanced_batches); --device_data
+    # iterates the loader once, so a cache would only waste RAM.
+    cache_collate = (args.balanced_batches and not args.device_data
+                     and not args.no_cache_collate)
     t_load = time.time()
     train_loader = GraphLoader(train_mols, batch_size=args.batch_size,
                                shuffle=True, seed=args.seed, drop_last=True,
                                balanced_batches=args.balanced_batches,
                                build_perms=True, wire_geometry=train_geometry,
                                compact_wire=compact,
+                               cache_collate=cache_collate,
+                               cache_collate_max_mb=args.cache_collate_mb,
                                **{**common, "build_tables": train_tables})
     # Eval composition is free — labels ride inside the batches and the
     # metric is a global mean over molecules — so the eval splits ALWAYS use
