@@ -45,6 +45,8 @@ Experiments (select with argv[1:], default: dtype):
           vs sorted-scan/perm routing (knn-50 wide degrees).
   colcache  cross-epoch collation cache (GraphLoader cache_collate) vs
           per-epoch re-collation at the shipped streaming config.
+  blocksteps scan_steps 16/32/64 at the cached streaming config (dispatch
+          overhead amortization vs per-call staged payload).
 
 Each experiment prints one `AB <name> variant=... mol_s=...` line per variant.
 """
@@ -1175,6 +1177,66 @@ def exp_colcache():
     print(f"AB colcache cache_vs_plain={wall['cache']/base:.3f}x")
 
 
+def exp_blocksteps():
+    """scan_steps at the shipped cached streaming config (derive tables +
+    geometry + compact wire, colcache, deferred fetch): with collation
+    cached and staging overlapped, the residual epoch-wall gap to the
+    device-step ceiling is per-dispatch tunnel overhead (~25-80 ms/call,
+    DEVNOTES round-1) — 8 blocks/epoch at scan_steps=16.  Larger blocks
+    amortize dispatches at the cost of a bigger staged payload per call."""
+    import numpy as np
+
+    from pamnet_tpu.train.loop import (
+        EpochRunner,
+        StackedEval,
+        init_train_state as _init,
+        make_multistep_eval,
+    )
+    from pamnet_tpu.utils.wirepack import stage as to_device
+
+    cfg = PAMNetConfig(dataset="QM9", dim=128, n_layer=6, cutoff_l=5.0,
+                       cutoff_g=5.0, compute_dtype="bfloat16")
+    bs = 32
+    params = init_pamnet(jax.random.PRNGKey(480), cfg)
+    optimizer = make_optimizer(warmup_exponential(1e-4, steps_per_epoch=64),
+                               clip_norm=1000.0)
+    wmols = synthetic_qm9_dataset(4096 + 512, seed=481)
+    train_loader = GraphLoader(wmols[:4096], "qm9", cfg.cutoff_l, cfg.cutoff_g,
+                               batch_size=bs, shuffle=True, seed=480,
+                               drop_last=True, balanced_batches=True,
+                               build_tables="derive", build_perms=True,
+                               wire_geometry="derive", compact_wire=True,
+                               cache_collate=True)
+    val_loader = GraphLoader(wmols[4096:], "qm9", cfg.cutoff_l, cfg.cutoff_g,
+                             batch_size=bs, balanced_batches=True,
+                             build_perms=False)
+    wall = {}
+    for name, steps in [("s16", 16), ("s32", 32), ("s64", 64),
+                        ("s16_again", 16)]:
+        st = _init(params, optimizer, use_ema=True)
+        runner = EpochRunner(cfg, optimizer, "l1", ema_decay=0.999,
+                             scan_steps=steps)
+        ev = StackedEval(make_multistep_eval(cfg), val_loader, to_device)
+        t0 = time.time()
+        st, ls, ng, _ = runner.run(st, train_loader.prefetch(), to_device)
+        mae = float(np.abs(ev.predict(st.ema) - ev.y).mean())
+        print(f"  [{name}] compile epoch: {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            st, ls, ng, _ = runner.run(st, train_loader.prefetch(), to_device)
+            mae = float(np.abs(ev.predict(st.ema) - ev.y).mean())
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        wall[name] = ng / best
+        print(f"AB blocksteps variant={name} mol_s={wall[name]:.1f} "
+              f"loss_sum={ls:.6f} mae={mae:.4f}")
+    base = max(wall["s16"], wall["s16_again"])
+    for n in ("s32", "s64"):
+        print(f"AB blocksteps {n}_vs_s16={wall[n]/base:.3f}x")
+
+
 def exp_rnatables():
     """RNA TRAINING at the reference recipe (dim=16 L=1 b=8, SmoothL1,
     main_rna_puzzles.py:45-58) over synthetic candidate structures:
@@ -1326,7 +1388,7 @@ def main():
          "planpads": exp_planpads, "geo": exp_geo,
          "pdbbind": exp_pdbbind, "rnatables": exp_rnatables,
          "wiremin": exp_wiremin, "lossfetch": exp_lossfetch,
-         "colcache": exp_colcache}[w]()
+         "colcache": exp_colcache, "blocksteps": exp_blocksteps}[w]()
 
 
 if __name__ == "__main__":
